@@ -1,0 +1,228 @@
+"""Config system: frozen dataclass tree mirroring the reference's YACS knobs.
+
+Knob names match the reference (`config/defaults.py:1-181` in
+maxingan2412/Signal) one-to-one so its YAML configs
+(`configs/{RGBNT201,RGBNT100,MSVR310}/Signal.yml`) load unmodified, and CLI
+`KEY VALUE` override lists behave like `cfg.merge_from_list`.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Tuple
+
+
+@dataclass
+class ModelConfig:
+    DEVICE: str = "tpu"
+    DEVICE_ID: str = "0"
+    NAME: str = "Signal"
+    PRETRAIN_PATH_T: str = ""
+    # checkpoint for the CLIP tower (torch .pt state_dict or orbax dir).
+    PRETRAIN_PATH_CLIP: str = ""
+    NECK: str = "bnneck"
+    IF_WITH_CENTER: str = "no"
+    ID_LOSS_TYPE: str = "softmax"
+    ID_LOSS_WEIGHT: float = 1.0
+    TRIPLET_LOSS_WEIGHT: float = 1.0
+    Gram_Loss_weight: float = 0.15
+    PAT_Loss_weight: float = 0.1
+    MoE_Loss_weight: float = 0.1
+    METRIC_LOSS_TYPE: str = "triplet"
+    DIST_TRAIN: bool = False
+    PROMPT: bool = False
+    ADAPTER: bool = False
+    FROZEN: bool = False
+    IF_LABELSMOOTH: str = "on"
+    DIRECT: int = 1
+    DROP_PATH: float = 0.1
+    DROP_OUT: float = 0.0
+    ATT_DROP_RATE: float = 0.0
+    TRANSFORMER_TYPE: str = "ViT-B-16"
+    STRIDE_SIZE: Tuple[int, int] = (16, 16)
+    USE_A: bool = False
+    USE_B: bool = False
+    TOPK: int = 64
+    FIXED_KEEP_RATIO: bool = False
+    KEEP_RATIO: float = 0.75
+    stageName: str = "CLS"
+    SIE_COE: float = 3.0
+    SIE_CAMERA: bool = True
+    SIE_VIEW: bool = False
+    NO_MARGIN: bool = True
+    # --- TPU-native knobs (no reference equivalent) ---
+    COMPUTE_DTYPE: str = "bfloat16"   # matmul dtype; LN/softmax stay fp32
+    USE_PALLAS_ATTENTION: bool = True  # fused flash-attention kernel on TPU
+
+
+@dataclass
+class InputConfig:
+    SIZE_TRAIN: Tuple[int, int] = (256, 128)
+    SIZE_TEST: Tuple[int, int] = (256, 128)
+    PROB: float = 0.5
+    RE_PROB: float = 0.5
+    PIXEL_MEAN: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    PIXEL_STD: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    PADDING: int = 10
+
+
+@dataclass
+class DatasetsConfig:
+    NAMES: str = "RGBNT201"
+    ROOT_DIR: str = "./data"
+
+
+@dataclass
+class DataloaderConfig:
+    NUM_WORKERS: int = 6
+    SAMPLER: str = "softmax_triplet"
+    NUM_INSTANCE: int = 8
+
+
+@dataclass
+class SolverConfig:
+    OPTIMIZER_NAME: str = "SGD"
+    MAX_EPOCHS: int = 120
+    BASE_LR: float = 0.009
+    LARGE_FC_LR: bool = False
+    BIAS_LR_FACTOR: float = 2.0
+    MOMENTUM: float = 0.9
+    MARGIN: float = 0.3
+    CLUSTER_MARGIN: float = 0.3
+    CENTER_LR: float = 0.5
+    CENTER_LOSS_WEIGHT: float = 0.0005
+    RANGE_K: int = 2
+    RANGE_MARGIN: float = 0.3
+    RANGE_ALPHA: int = 0
+    RANGE_BETA: int = 1
+    RANGE_LOSS_WEIGHT: int = 1
+    WEIGHT_DECAY: float = 1e-4
+    WEIGHT_DECAY_BIAS: float = 1e-4
+    GAMMA: float = 0.1
+    STEPS: Tuple[int, ...] = (40, 70)
+    WARMUP_FACTOR: float = 0.01
+    WARMUP_ITERS: int = 10
+    WARMUP_METHOD: str = "linear"
+    COSINE_MARGIN: float = 0.5
+    COSINE_SCALE: int = 30
+    SEED: int = 1234
+    CHECKPOINT_PERIOD: int = 50
+    LOG_PERIOD: int = 10
+    EVAL_PERIOD: int = 5
+    IMS_PER_BATCH: int = 128
+
+
+@dataclass
+class TestConfig:
+    EVAL: bool = False
+    IMS_PER_BATCH: int = 256
+    RE_RANKING: str = "no"
+    WEIGHT: str = ""
+    NECK_FEAT: str = "before"
+    FEAT_NORM: str = "yes"
+    MISS: str = "None"
+    FEAT: int = 0
+
+
+@dataclass
+class ParallelConfig:
+    """TPU mesh layout (no reference equivalent; replaces NCCL DDP)."""
+    DATA_AXIS: int = -1   # -1: all devices on the data axis
+    MODEL_AXIS: int = 1   # tensor-parallel degree over attention heads/MLP
+    MESH_AXES: Tuple[str, str] = ("data", "model")
+
+
+@dataclass
+class Config:
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    INPUT: InputConfig = field(default_factory=InputConfig)
+    DATASETS: DatasetsConfig = field(default_factory=DatasetsConfig)
+    DATALOADER: DataloaderConfig = field(default_factory=DataloaderConfig)
+    SOLVER: SolverConfig = field(default_factory=SolverConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    PARALLEL: ParallelConfig = field(default_factory=ParallelConfig)
+    OUTPUT_DIR: str = "./test"
+    ckpt_save_path: str = "baseline"
+    ckpt_test_path: str = "test_RNT"
+
+    # ------------------------------------------------------------------
+    def clone(self) -> "Config":
+        return copy.deepcopy(self)
+
+    def merge_from_file(self, path: str) -> "Config":
+        import yaml  # PyYAML ships with the baked-in deps
+
+        with open(path) as f:
+            tree = yaml.safe_load(f)
+        _merge_tree(self, tree or {})
+        return self
+
+    def merge_from_list(self, opts: List[str]) -> "Config":
+        """Reference-style ['MODEL.USE_A', 'True', ...] override list."""
+        assert len(opts) % 2 == 0, f"override list must be key/value pairs, got {opts}"
+        for key, value in zip(opts[0::2], opts[1::2]):
+            node: Any = self
+            *parents, leaf = key.split(".")
+            for p in parents:
+                node = getattr(node, p)
+            old = getattr(node, leaf)
+            setattr(node, leaf, _coerce(value, old))
+        return self
+
+    def dump(self) -> str:
+        return _dump(self, 0)
+
+
+def _coerce(value: Any, old: Any) -> Any:
+    if isinstance(value, str):
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+    if isinstance(old, tuple) and isinstance(value, (list, tuple)):
+        return tuple(value)
+    if isinstance(old, bool) and isinstance(value, str):
+        return value.lower() in ("true", "1", "yes", "on")
+    if isinstance(old, float) and isinstance(value, int):
+        return float(value)
+    return value
+
+
+def _merge_tree(node: Any, tree: dict) -> None:
+    for key, value in tree.items():
+        if not hasattr(node, key):
+            raise KeyError(f"Unknown config key: {key}")
+        old = getattr(node, key)
+        if dataclasses.is_dataclass(old) and isinstance(value, dict):
+            _merge_tree(old, value)
+        else:
+            # YAML strings like "('RGBNT201')" appear in the reference YAMLs
+            setattr(node, key, _coerce(value, old))
+
+
+def _dump(node: Any, indent: int) -> str:
+    lines = []
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if dataclasses.is_dataclass(v):
+            lines.append(" " * indent + f.name + ":")
+            lines.append(_dump(v, indent + 2))
+        else:
+            lines.append(" " * indent + f"{f.name}: {v!r}")
+    return "\n".join(lines)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def load_config(yaml_path: str | None = None, opts: List[str] | None = None) -> Config:
+    cfg = Config()
+    if yaml_path:
+        cfg.merge_from_file(yaml_path)
+    if opts:
+        cfg.merge_from_list(list(opts))
+    return cfg

@@ -1,0 +1,166 @@
+"""Batched 3-modality data loading.
+
+Mirrors `data/datasets/make_dataloader.py` + `bases.py` (maxingan2412/
+Signal): per-sample decode of (RGB, NI, TI) — either three files or one
+packed 768-wide jpg cropped into three panes (`bases.py:18-22`) — with the
+transform applied INDEPENDENTLY per modality (each torchvision call drew
+fresh randomness, `bases.py:103`), collated into {'RGB','NI','TI'} arrays.
+
+TPU-first differences:
+* decode/augment runs in a thread pool with double-buffered prefetch (PIL
+  releases the GIL in its codecs) instead of torch worker processes;
+* the train loader drops the final partial batch (static shapes → one XLA
+  program); the eval loader pads the tail batch and reports the true
+  count so the evaluator can slice it off.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from signal_tpu.data.datasets import ReIDDataset, build_dataset
+from signal_tpu.data.sampler import RandomIdentitySampler
+from signal_tpu.data.transforms import TrainTransform, ValTransform
+
+PACKED_CROPS = ((0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128))
+
+
+def _synthetic_image(token: str, size_hw: Tuple[int, int]) -> Image.Image:
+    """Deterministic pseudo-image for 'synth:pid:i:m' records."""
+    _, pid, i, m = token.split(":")
+    rng = np.random.default_rng(abs(hash((int(pid), int(i), int(m)))) % (2 ** 31))
+    h, w = size_hw
+    base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    return Image.fromarray(base)
+
+
+def read_modalities(paths, size_hint=(128, 64)) -> List[Image.Image]:
+    """→ [RGB, NI, TI] PIL images."""
+    if isinstance(paths, str):
+        if paths.startswith("synth:"):
+            return [_synthetic_image(paths, size_hint)]
+        img = Image.open(paths).convert("RGB")
+        return [img.crop(c) for c in PACKED_CROPS]
+    imgs = []
+    for p in paths:
+        if p.startswith("synth:"):
+            imgs.append(_synthetic_image(p, size_hint))
+        else:
+            imgs.append(Image.open(p).convert("RGB"))
+    return imgs
+
+
+class _BatchLoader:
+    def __init__(self, dataset_records, transform, batch_size: int,
+                 index_source, *, drop_last: bool, seed: int,
+                 num_threads: int = 4, include_paths: bool = False,
+                 num_samples_hint: Optional[int] = None):
+        self.records = dataset_records
+        self.transform = transform
+        self.batch_size = batch_size
+        self.index_source = index_source  # callable → per-epoch index list
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.include_paths = include_paths
+        self.num_samples_hint = num_samples_hint
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        # never call index_source() here — it would consume sampler RNG state
+        n = (self.num_samples_hint if self.num_samples_hint is not None
+             else len(self.records))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_one(self, index: int, rng_key: int):
+        paths, pid, camid, trackid = self.records[index]
+        imgs = read_modalities(paths)
+        rng = np.random.default_rng(rng_key)
+        arrs = [self.transform(img, rng) for img in imgs]
+        name = (paths if isinstance(paths, str) else paths[0]).split("/")[-1]
+        return arrs, pid, camid, trackid, name
+
+    def __iter__(self) -> Iterator[Dict]:
+        indices = list(self.index_source())
+        self._epoch += 1
+        bs = self.batch_size
+        n_full = len(indices) // bs
+        tail = len(indices) - n_full * bs
+        batches = [indices[i * bs:(i + 1) * bs] for i in range(n_full)]
+        pad_count = 0
+        if tail and not self.drop_last:
+            last = indices[n_full * bs:]
+            pad_count = bs - tail
+            last = last + last[:1] * pad_count  # pad by repeating first tail item
+            batches.append(last)
+
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            pending = None
+            for bi, batch_idx in enumerate(batches):
+                keys = [int(np.random.SeedSequence(
+                            (self.seed, self._epoch, bi, j)).generate_state(1)[0])
+                        for j in range(len(batch_idx))]
+                futs = [pool.submit(self._load_one, idx, k)
+                        for idx, k in zip(batch_idx, keys)]
+                if pending is not None:
+                    yield self._collate(*pending)
+                is_last = bi == len(batches) - 1
+                pending = (futs, pad_count if is_last else 0)
+            if pending is not None:
+                yield self._collate(*pending)
+
+    def _collate(self, futs, pad_count: int) -> Dict:
+        items = [f.result() for f in futs]
+        arrs = np.stack([np.stack(it[0]) for it in items])  # [B, 3modal, 3, H, W]
+        batch = {
+            "imgs": {"RGB": arrs[:, 0], "NI": arrs[:, 1], "TI": arrs[:, 2]},
+            "pids": np.asarray([it[1] for it in items], np.int64),
+            "camids": np.asarray([it[2] for it in items], np.int64),
+            "trackids": np.asarray([it[3] for it in items], np.int64),
+            "valid": len(items) - pad_count,
+        }
+        if self.include_paths:
+            batch["names"] = [it[4] for it in items]
+        return batch
+
+
+def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
+    """→ (train_loader, train_loader_normal, val_loader, num_query,
+         num_classes, cam_num, view_num) — the reference's 7-tuple
+    (`make_dataloader.py:185-257`)."""
+    if dataset is None:
+        dataset = build_dataset(cfg.DATASETS.NAMES, cfg.DATASETS.ROOT_DIR)
+
+    train_tf = TrainTransform(cfg.INPUT.SIZE_TRAIN, cfg.INPUT.PROB, cfg.INPUT.RE_PROB,
+                              cfg.INPUT.PADDING, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+    val_tf = ValTransform(cfg.INPUT.SIZE_TEST, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+
+    sampler = RandomIdentitySampler(dataset.train, cfg.SOLVER.IMS_PER_BATCH,
+                                    cfg.DATALOADER.NUM_INSTANCE, cfg.SOLVER.SEED)
+    nthreads = max(1, cfg.DATALOADER.NUM_WORKERS)
+
+    train_loader = _BatchLoader(
+        dataset.train, train_tf, cfg.SOLVER.IMS_PER_BATCH,
+        sampler.epoch_indices, drop_last=True, seed=cfg.SOLVER.SEED,
+        num_threads=nthreads, num_samples_hint=sampler.length)
+
+    train_loader_normal = _BatchLoader(
+        dataset.train, val_tf, cfg.TEST.IMS_PER_BATCH,
+        lambda: list(range(len(dataset.train))), drop_last=False,
+        seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True)
+
+    val_records = dataset.query + dataset.gallery
+    val_loader = _BatchLoader(
+        val_records, val_tf, cfg.TEST.IMS_PER_BATCH,
+        lambda: list(range(len(val_records))), drop_last=False,
+        seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True)
+
+    num_classes = dataset.num_train_pids
+    cam_num = dataset.num_train_cams
+    view_num = dataset.num_train_vids
+    return (train_loader, train_loader_normal, val_loader,
+            len(dataset.query), num_classes, cam_num, view_num)

@@ -1,0 +1,71 @@
+"""Inference engine: feature extraction + retrieval evaluation.
+
+Behavioral mirror of `engine/processor.py:353-451` (maxingan2412/Signal),
+with the whole ranking pipeline on device (the reference copied features
+to CPU per batch, `metrics.py:245`).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signal_tpu.metrics import R1mAPEvaluator
+from signal_tpu.models.signal_model import ModelSpec, forward_eval
+
+logger = logging.getLogger("signal_tpu.eval")
+
+
+def make_eval_step(spec: ModelSpec):
+    @jax.jit
+    def eval_step(params, bn_state, imgs, camids):
+        return forward_eval(params, bn_state, imgs, camids, spec)
+
+    return eval_step
+
+
+def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
+                     mesh=None, eval_step=None):
+    """Stream batches through forward_eval, feeding the evaluator."""
+    eval_step = eval_step or make_eval_step(spec)
+    for batch in loader:
+        imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
+        camids = jnp.asarray(batch["camids"])
+        if mesh is not None:
+            from signal_tpu.parallel.mesh import shard_batch
+
+            sharded = shard_batch({"imgs": imgs, "camids": camids}, mesh)
+            imgs, camids = sharded["imgs"], sharded["camids"]
+        feats = eval_step(params, bn_state, imgs, camids)
+        valid = batch.get("valid", feats.shape[0])
+        evaluator.update(
+            np.asarray(feats)[:valid],
+            batch["pids"][:valid],
+            batch["camids"][:valid],
+            sceneid=batch["trackids"][:valid] if evaluator.scene_aware else None,
+            img_path=batch.get("names", [])[:valid] or None,
+        )
+
+
+def do_inference(cfg, spec: ModelSpec, params, bn_state, val_loader,
+                 num_query: int, mesh=None):
+    """Full test pass → (cmc, mAP)."""
+    scene_aware = cfg.DATASETS.NAMES == "MSVR310"
+    evaluator = R1mAPEvaluator(
+        num_query,
+        feat_norm=cfg.TEST.FEAT_NORM == "yes",
+        reranking=cfg.TEST.RE_RANKING == "yes",
+        scene_aware=scene_aware,
+    )
+    extract_features(spec, params, bn_state, val_loader, evaluator, mesh=mesh)
+    cmc, mAP, *_ = evaluator.compute()
+    logger.info("Validation Results ")
+    logger.info("mAP: %.1f%%", 100 * mAP)
+    for r in (1, 5, 10):
+        logger.info("CMC curve, Rank-%-3d:%.1f%%", r, 100 * cmc[r - 1])
+    return cmc, mAP

@@ -1,0 +1,214 @@
+"""Training engine: jitted step, per-epoch schedule, eval, checkpoints.
+
+Behavioral mirror of `engine/processor.py:41-350` (maxingan2412/Signal):
+per-epoch LR scheduling (stepped with the 1-based epoch, l.135), the
+sign-dispatched loss assembly (l.176-256), loss/acc meters and log lines
+(l.285-302), periodic + best-by-mAP checkpoints (l.310-342).
+
+TPU-first: the whole fwd/bwd/update is ONE jitted function (donated
+params/opt state, bf16 matmuls — no GradScaler needed on TPU), sharded
+over the device mesh by GSPMD; the host only streams batches and scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signal_tpu.losses import make_loss, total_train_loss
+from signal_tpu.metrics import R1mAPEvaluator
+from signal_tpu.models.signal_model import ModelSpec, forward_train, init_signal_params
+from signal_tpu.solver import (
+    adam_init,
+    adam_update,
+    build_param_groups,
+    current_lr,
+    schedule_coeffs,
+    sgd_update,
+)
+from signal_tpu.utils.meter import AverageMeter
+
+logger = logging.getLogger("signal_tpu.train")
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    sgd_buf: Any = None  # momentum buffers when OPTIMIZER_NAME == 'SGD'
+
+
+def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
+    """Builds the jitted train step closed over static config."""
+    loss_fn = make_loss(cfg, num_classes)
+    gram_w = cfg.MODEL.Gram_Loss_weight
+    pat_w = cfg.MODEL.PAT_Loss_weight
+    use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
+    momentum = cfg.SOLVER.MOMENTUM
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, bn_state, opt_state, batch, lr_a, lr_b, group_trees):
+        base_lr_tree, wd_tree, trainable_tree = group_trees
+
+        def objective(p):
+            out, new_bn = forward_train(p, bn_state, batch["imgs"], batch["camids"], spec)
+            loss = total_train_loss(out, batch["pids"], loss_fn,
+                                    gram_weight=gram_w, pat_weight=pat_w)
+            acc = jnp.mean(
+                (jnp.argmax(out["scores"][0], axis=1) == batch["pids"]).astype(jnp.float32))
+            return loss, (new_bn, acc)
+
+        (loss, (new_bn, acc)), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        if use_sgd:
+            new_params, new_opt = sgd_update(
+                grads, opt_state, params,
+                base_lr_tree=base_lr_tree, wd_tree=wd_tree,
+                trainable_tree=trainable_tree, lr_a=lr_a, lr_b=lr_b,
+                momentum=momentum)
+        else:
+            new_params, new_opt = adam_update(
+                grads, opt_state, params,
+                base_lr_tree=base_lr_tree, wd_tree=wd_tree,
+                trainable_tree=trainable_tree, lr_a=lr_a, lr_b=lr_b)
+        return new_params, new_bn, new_opt, loss, acc
+
+    return train_step
+
+
+def _device_batch(batch, mesh=None) -> Dict:
+    out = {
+        "imgs": {k: jnp.asarray(v) for k, v in batch["imgs"].items()},
+        "pids": jnp.asarray(batch["pids"]),
+        "camids": jnp.asarray(batch["camids"]),
+    }
+    if mesh is not None:
+        from signal_tpu.parallel.mesh import shard_batch
+
+        out = shard_batch(out, mesh)
+    return out
+
+
+def do_train(
+    cfg,
+    spec: ModelSpec,
+    train_loader,
+    val_loader,
+    num_query: int,
+    num_classes: int,
+    *,
+    key=None,
+    mesh=None,
+    params=None,
+    bn_state=None,
+    max_steps_per_epoch: Optional[int] = None,
+) -> TrainState:
+    """Main training loop. Returns the final TrainState."""
+    key = key if key is not None else jax.random.PRNGKey(cfg.SOLVER.SEED)
+    if params is None:
+        params, bn_state = init_signal_params(key, spec)
+        clip_path = cfg.MODEL.PRETRAIN_PATH_CLIP or cfg.MODEL.PRETRAIN_PATH_T
+        if clip_path and os.path.exists(clip_path):
+            from signal_tpu.models.clip_loader import load_clip_into_params
+
+            params = load_clip_into_params(params, clip_path, spec)
+            logger.info("Loaded CLIP weights from %s", clip_path)
+
+    if mesh is not None:
+        from signal_tpu.parallel.mesh import shard_params
+
+        params = shard_params(params, mesh)
+
+    group_trees = build_param_groups(params, cfg)
+    use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
+    opt_state = (jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+                 if use_sgd else adam_init(params))
+    train_step = make_train_step(spec, cfg, num_classes)
+
+    scene_aware = cfg.DATASETS.NAMES == "MSVR310"
+    evaluator = R1mAPEvaluator(num_query, feat_norm=cfg.TEST.FEAT_NORM == "yes",
+                               reranking=cfg.TEST.RE_RANKING == "yes",
+                               scene_aware=scene_aware)
+
+    loss_meter, acc_meter = AverageMeter(), AverageMeter()
+    best = {"mAP": 0.0, "Rank-1": 0.0, "Rank-5": 0.0, "Rank-10": 0.0}
+    ckpt_dir = os.path.join(cfg.OUTPUT_DIR, cfg.ckpt_save_path)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    state = TrainState(params, bn_state, opt_state)
+    log_period = cfg.SOLVER.LOG_PERIOD
+    from signal_tpu.engine.eval import make_eval_step
+
+    eval_step = make_eval_step(spec)  # built once — re-jitting per epoch recompiles
+
+    for epoch in range(1, cfg.SOLVER.MAX_EPOCHS + 1):
+        t0 = time.time()
+        loss_meter.reset()
+        acc_meter.reset()
+        lr_a, lr_b = schedule_coeffs(cfg, epoch)
+        n_iter = 0
+        for n_iter, batch in enumerate(train_loader):
+            db = _device_batch(batch, mesh)
+            state.params, state.bn_state, state.opt_state, loss, acc = train_step(
+                state.params, state.bn_state, state.opt_state, db,
+                jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
+            loss_meter.update(float(loss), batch["imgs"]["RGB"].shape[0])
+            acc_meter.update(float(acc), 1)
+            if (n_iter + 1) % log_period == 0:
+                logger.info(
+                    "Epoch[%d] Iteration[%d/%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
+                    epoch, n_iter + 1, len(train_loader),
+                    loss_meter.avg, acc_meter.avg, current_lr(cfg, epoch))
+            if max_steps_per_epoch and n_iter + 1 >= max_steps_per_epoch:
+                break
+
+        time_per_batch = (time.time() - t0) / (n_iter + 1)
+        logger.info("Epoch %d done. Time per batch: %.3f[s] Speed: %.1f[samples/s]",
+                    epoch, time_per_batch,
+                    cfg.SOLVER.IMS_PER_BATCH / time_per_batch)
+
+        if epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}_{epoch}"), state)
+
+        if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and val_loader is not None:
+            mAP, cmc = _neat_eval(cfg, spec, state, val_loader, evaluator, epoch,
+                                  eval_step=eval_step)
+            if mAP >= best["mAP"]:
+                best.update({"mAP": mAP, "Rank-1": cmc[0], "Rank-5": cmc[4],
+                             "Rank-10": cmc[9]})
+                _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}best"), state)
+            logger.info("~" * 50)
+            for k in ("mAP", "Rank-1", "Rank-5", "Rank-10"):
+                logger.info("Best %s: %.1f%%", k, 100 * best[k])
+            logger.info("~" * 50)
+
+    return state
+
+
+def _neat_eval(cfg, spec, state, val_loader, evaluator, epoch, eval_step=None):
+    """In-training eval (`training_neat_eval`, `processor.py:454-539`)."""
+    from signal_tpu.engine.eval import extract_features
+
+    evaluator.reset()
+    extract_features(spec, state.params, state.bn_state, val_loader, evaluator,
+                     eval_step=eval_step)
+    cmc, mAP, *_ = evaluator.compute()
+    logger.info("Validation Results - Epoch: %d", epoch)
+    logger.info("mAP: %.1f%%", 100 * mAP)
+    for r in (1, 5, 10):
+        logger.info("CMC curve, Rank-%-3d:%.1f%%", r, 100 * cmc[r - 1])
+    return mAP, cmc
+
+
+def _save_checkpoint(path: str, state: TrainState):
+    from signal_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(path, {"params": state.params, "bn_state": state.bn_state})

@@ -1,0 +1,175 @@
+"""Checkpoint converters: CLIP ViT-B-16 .pt / reference Signal .pth → pytrees.
+
+Mirrors the reference's CLIP bootstrap (`modeling/make_model_clipreid.py:
+177-197`, `modeling/clip/clip.py:86-182`, `modeling/clip/model.py:651-706`
+in maxingan2412/Signal): read the torch archive (JIT or plain state_dict),
+keep the visual tower, bilinear-resize the positional embedding from the
+pretrained 14×14 grid to the ReID h×w grid (`model.py:712-729`), convert
+to fp32.
+
+Torch (CPU build, baked into the image) is used ONLY here, at load time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from signal_tpu.models.vit import resize_pos_embed
+
+
+def _torch_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        sd = model.state_dict()
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def clip_visual_to_vit_params(sd: Dict[str, np.ndarray], h: int, w: int,
+                              layers: int = 12) -> Dict[str, Any]:
+    """CLIP 'visual.*' torch tensors → our stacked-block ViT pytree."""
+    g = lambda k: jnp.asarray(sd[f"visual.{k}"])  # noqa: E731
+
+    pos = resize_pos_embed(g("positional_embedding"), h, w)
+
+    def stack(fmt, transpose=None):
+        arrs = []
+        for i in range(layers):
+            a = jnp.asarray(sd[f"visual.transformer.resblocks.{i}.{fmt}"])
+            if transpose:
+                a = a.T
+            arrs.append(a)
+        return jnp.stack(arrs)
+
+    return {
+        # torch conv OIHW → HWIO
+        "conv1": {"kernel": jnp.transpose(g("conv1.weight"), (2, 3, 1, 0))},
+        "class_embedding": g("class_embedding"),
+        "positional_embedding": pos,
+        "ln_pre": {"scale": g("ln_pre.weight"), "bias": g("ln_pre.bias")},
+        "blocks": {
+            "ln_1": {"scale": stack("ln_1.weight"), "bias": stack("ln_1.bias")},
+            "attn": {
+                "qkv_kernel": stack("attn.in_proj_weight", transpose=True),
+                "qkv_bias": stack("attn.in_proj_bias"),
+                "out_kernel": stack("attn.out_proj.weight", transpose=True),
+                "out_bias": stack("attn.out_proj.bias"),
+            },
+            "ln_2": {"scale": stack("ln_2.weight"), "bias": stack("ln_2.bias")},
+            "mlp": {
+                "fc_kernel": stack("mlp.c_fc.weight", transpose=True),
+                "fc_bias": stack("mlp.c_fc.bias"),
+                "proj_kernel": stack("mlp.c_proj.weight", transpose=True),
+                "proj_bias": stack("mlp.c_proj.bias"),
+            },
+        },
+        "ln_post": {"scale": g("ln_post.weight"), "bias": g("ln_post.bias")},
+        "proj": g("proj"),
+    }
+
+
+def load_clip_into_params(params: Dict[str, Any], path: str, spec) -> Dict[str, Any]:
+    """Replace params['base'] with converted CLIP visual weights."""
+    sd = _torch_state_dict(path)
+    new = dict(params)
+    new["base"] = clip_visual_to_vit_params(sd, spec.h, spec.w, spec.layers)
+    return new
+
+
+# --------------------------------------------------------------------------
+# Reference Signal .pth → full signal_tpu param tree (eval parity path)
+# --------------------------------------------------------------------------
+
+_BN_MAP = {"weight": "scale", "bias": "bias"}
+
+
+def load_reference_signal_checkpoint(params: Dict[str, Any], bn_state: Dict[str, Any],
+                                     path: str, spec) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    """Import a torch Signal state_dict (keys per `modeling/make_model.py`)."""
+    sd = _torch_state_dict(path)
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p = {k: v for k, v in params.items()}
+    bn = {k: dict(v) for k, v in bn_state.items()}
+
+    # ViT tower under 'clip_vision_encoder.base.'
+    base_sd = {k.replace("clip_vision_encoder.base.", "visual."): v
+               for k, v in sd.items() if k.startswith("clip_vision_encoder.base.")}
+    if base_sd:
+        p["base"] = clip_visual_to_vit_params(base_sd, spec.h, spec.w, spec.layers)
+    if "clip_vision_encoder.cv_embed" in sd:
+        p["cv_embed"] = jnp.asarray(sd["clip_vision_encoder.cv_embed"]).squeeze(1)
+
+    def bn_import(name, ours):
+        p[ours] = {"scale": jnp.asarray(sd[f"{name}.weight"]),
+                   "bias": jnp.asarray(sd[f"{name}.bias"])}
+        bn[ours] = {"mean": jnp.asarray(sd[f"{name}.running_mean"]),
+                    "var": jnp.asarray(sd[f"{name}.running_var"])}
+
+    def cls_import(name, ours):
+        p[ours] = {"kernel": jnp.asarray(sd[f"{name}.weight"]).T}
+
+    for tname, oname in (("bottleneck", "bottleneck"),
+                         ("bottleneck_r", "bottleneck_r"),
+                         ("bottleneck_n", "bottleneck_n"),
+                         ("bottleneck_t", "bottleneck_t"),
+                         ("bottleneck_var", "bottleneck_var")):
+        if f"{tname}.weight" in sd and oname in p:
+            bn_import(tname, oname)
+    for tname, oname in (("classifier", "classifier"),
+                         ("classifier_r", "classifier_r"),
+                         ("classifier_n", "classifier_n"),
+                         ("classifier_t", "classifier_t"),
+                         ("classifier_var", "classifier_var")):
+        if f"{tname}.weight" in sd and oname in p:
+            cls_import(tname, oname)
+
+    if "SIM" in p and "SIM.token_selection.W_q.weight" in sd:
+        sel = p["SIM"]["select"]
+        for w in ("W_q", "W_k", "W_v"):
+            sel[w] = {"kernel": jnp.asarray(sd[f"SIM.token_selection.{w}.weight"]).T,
+                      "bias": jnp.asarray(sd[f"SIM.token_selection.{w}.bias"])}
+        inter = p["SIM"]["interact"]
+        mi = "SIM.modal_interactive"
+        inter["cross_attn"] = {
+            "qkv_kernel": jnp.asarray(sd[f"{mi}.cross_attn.in_proj_weight"]).T,
+            "qkv_bias": jnp.asarray(sd[f"{mi}.cross_attn.in_proj_bias"]),
+            "out_kernel": jnp.asarray(sd[f"{mi}.cross_attn.out_proj.weight"]).T,
+            "out_bias": jnp.asarray(sd[f"{mi}.cross_attn.out_proj.bias"]),
+        }
+        inter["ffn"] = {
+            "fc1": {"kernel": jnp.asarray(sd[f"{mi}.ffn.0.weight"]).T,
+                    "bias": jnp.asarray(sd[f"{mi}.ffn.0.bias"])},
+            "fc2": {"kernel": jnp.asarray(sd[f"{mi}.ffn.2.weight"]).T,
+                    "bias": jnp.asarray(sd[f"{mi}.ffn.2.bias"])},
+        }
+        for i in (1, 2):
+            inter[f"norm{i}"] = {"scale": jnp.asarray(sd[f"{mi}.norm{i}.weight"]),
+                                 "bias": jnp.asarray(sd[f"{mi}.norm{i}.bias"])}
+
+    if "AlignM" in p and "AlignM.contra_temp" in sd:
+        al = p["AlignM"]
+        al["contra_temp"] = jnp.asarray(sd["AlignM.contra_temp"])
+        for mod, ours in (("DAS_r", "DAS_r"), ("DAS_n", "DAS_n"), ("DAS_t", "DAS_t")):
+            d = al[ours]
+            pre = f"AlignM.{mod}"
+            d["proj_q"] = {
+                "kernel": jnp.transpose(jnp.asarray(sd[f"{pre}.proj_q.weight"]), (2, 3, 1, 0)),
+                "bias": jnp.asarray(sd[f"{pre}.proj_q.bias"])}
+            d["off_conv1"] = {
+                "kernel": jnp.transpose(jnp.asarray(sd[f"{pre}.conv_offset.0.weight"]), (2, 3, 1, 0)),
+                "bias": jnp.asarray(sd[f"{pre}.conv_offset.0.bias"])}
+            d["off_dw"] = {
+                "kernel": jnp.transpose(jnp.asarray(sd[f"{pre}.conv_offset.2.weight"]), (2, 3, 1, 0)),
+                "bias": jnp.asarray(sd[f"{pre}.conv_offset.2.bias"])}
+            d["off_out"] = {
+                "kernel": jnp.transpose(jnp.asarray(sd[f"{pre}.conv_offset.4.weight"]), (2, 3, 1, 0))}
+    return p, bn

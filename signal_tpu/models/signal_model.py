@@ -1,0 +1,275 @@
+"""The Signal model: shared ViT encoder ×3 modalities → SIM → GAM/LAM →
+BNNeck + classifier heads.
+
+Behavioral mirror of `modeling/make_model.py:22-319` (maxingan2412/Signal),
+re-architected functionally:
+
+* parameters and BN running stats are explicit pytrees;
+* the three modalities run as ONE batched encoder call ([3B, …] instead of
+  three sequential calls, `make_model.py:181-183`) — identical numerics
+  (shared weights; LN/attention are per-sample), ~3× better MXU batching;
+* train/eval forward are pure functions returning an output dict instead
+  of the reference's sign-tagged tuples (the engine maps sign semantics,
+  `engine/processor.py:176-256`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from signal_tpu.models import vit as vit_mod
+from signal_tpu.models.align import align_forward, init_align_params
+from signal_tpu.models.bnneck import bnneck_apply, init_bnneck
+from signal_tpu.models.sim import init_sim_params, sim_forward
+from signal_tpu.ops.attention import trunc_normal
+
+MODALITIES = ("RGB", "NI", "TI")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Hashable static model description (safe as a jit static arg)."""
+    num_classes: int
+    camera_num: int
+    feat_dim: int = 512          # CLIP ViT-B/16 output dim
+    width: int = 768
+    layers: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+    h: int = 16                  # patch-grid height  (SIZE_TRAIN[0] / 16)
+    w: int = 8                   # patch-grid width   (SIZE_TRAIN[1] / 16)
+    direct: bool = True
+    use_a: bool = True
+    use_b: bool = True
+    topk: int = 80
+    keep_ratio: Optional[float] = None
+    sie_camera: bool = True
+    sie_coe: float = 1.0
+    stage: str = "together_CLS_Patch"
+    compute_dtype: str = "bfloat16"
+    use_flash: bool = False
+    miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
+
+    @classmethod
+    def from_config(cls, cfg, num_classes: int, camera_num: int) -> "ModelSpec":
+        h = cfg.INPUT.SIZE_TRAIN[0] // cfg.MODEL.STRIDE_SIZE[0]
+        w = cfg.INPUT.SIZE_TRAIN[1] // cfg.MODEL.STRIDE_SIZE[1]
+        keep_ratio = cfg.MODEL.KEEP_RATIO if cfg.MODEL.FIXED_KEEP_RATIO else None
+        return cls(
+            num_classes=num_classes,
+            camera_num=camera_num,
+            h=h,
+            w=w,
+            direct=bool(cfg.MODEL.DIRECT),
+            use_a=bool(cfg.MODEL.USE_A),
+            use_b=bool(cfg.MODEL.USE_B),
+            topk=int(cfg.MODEL.TOPK),
+            keep_ratio=keep_ratio,
+            sie_camera=bool(cfg.MODEL.SIE_CAMERA),
+            sie_coe=float(cfg.MODEL.SIE_COE),
+            stage=cfg.MODEL.stageName.strip(),
+            compute_dtype=cfg.MODEL.COMPUTE_DTYPE,
+            use_flash=bool(cfg.MODEL.USE_PALLAS_ATTENTION),
+            miss=str(cfg.TEST.MISS),
+        )
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def eval_feat_dim(self) -> int:
+        return 6 * self.feat_dim if self.use_a else 3 * self.feat_dim
+
+
+def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """→ (params, bn_state)."""
+    ks = jax.random.split(key, 12)
+    params: Dict[str, Any] = {}
+    bn_state: Dict[str, Any] = {}
+
+    params["base"] = vit_mod.init_vit_params(
+        ks[0],
+        h_resolution=spec.h,
+        w_resolution=spec.w,
+        patch_size=spec.patch_size,
+        width=spec.width,
+        layers=spec.layers,
+        output_dim=spec.feat_dim,
+    )
+    if spec.sie_camera:
+        params["cv_embed"] = trunc_normal(ks[1], (spec.camera_num, spec.width), 0.02)
+
+    def classifier(k, din):
+        # reference classifier init: normal(std=0.001), no bias
+        return {"kernel": 0.001 * jax.random.normal(k, (din, spec.num_classes))}
+
+    if spec.direct:
+        params["bottleneck"], bn_state["bottleneck"] = init_bnneck(3 * spec.feat_dim)
+        params["classifier"] = classifier(ks[2], 3 * spec.feat_dim)
+    else:
+        for i, m in enumerate(("r", "n", "t")):
+            params[f"bottleneck_{m}"], bn_state[f"bottleneck_{m}"] = init_bnneck(spec.feat_dim)
+            params[f"classifier_{m}"] = classifier(ks[3 + i], spec.feat_dim)
+
+    if spec.use_a:
+        params["SIM"] = init_sim_params(ks[6], spec.feat_dim)
+        params["bottleneck_var"], bn_state["bottleneck_var"] = init_bnneck(3 * spec.feat_dim)
+        params["classifier_var"] = classifier(ks[7], 3 * spec.feat_dim)
+
+    if spec.use_b:
+        params["AlignM"] = init_align_params(ks[8], spec.feat_dim)
+
+    return params, bn_state
+
+
+def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """imgs [B, 3(modal), 3(ch), H, W] → patches [B, 3, L, D], cls [B, 3, D]."""
+    B = imgs.shape[0]
+    x = imgs.reshape(B * 3, *imgs.shape[2:])
+    cv = None
+    if spec.sie_camera and cam_label is not None:
+        cv = spec.sie_coe * params["cv_embed"][cam_label]     # [B, width]
+        cv = jnp.tile(cv, (3, 1))
+    patches, cls = vit_mod.vit_forward(
+        params["base"], x, cv,
+        num_heads=spec.num_heads,
+        compute_dtype=spec.cdtype,
+        use_flash=spec.use_flash,
+    )
+    L, D = patches.shape[1], patches.shape[2]
+    patches = patches.reshape(B, 3, L, D)
+    cls = cls.reshape(B, 3, D)
+    return patches, cls
+
+
+def _stack_modalities(imgs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    return jnp.stack([imgs[m] for m in MODALITIES], axis=1)
+
+
+def forward_train(
+    params,
+    bn_state,
+    imgs: Dict[str, jnp.ndarray],
+    cam_label,
+    spec: ModelSpec,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Training forward. Returns (outputs, new_bn_state).
+
+    outputs: {'scores': [...], 'feats': [...], 'gam': scalar|None,
+              'lam': scalar|None, 'masks': {...}|None}
+    (score, feat) pairs appear in the reference's tuple order:
+    direct → [(ori_score, ori)] or per-modality triples; then SIM's
+    (vars_score, vars_total) if USE_A.
+    """
+    x = _stack_modalities(imgs)
+    patches, cls = _encode(params, spec, x, cam_label)
+    new_state = dict(bn_state)
+    out: Dict[str, Any] = {"scores": [], "feats": [], "gam": None, "lam": None, "masks": None}
+
+    vars_total = None
+    if spec.use_a:
+        vars_total, masks = sim_forward(
+            params["SIM"], patches, cls,
+            k=spec.topk, keep_ratio=spec.keep_ratio, compute_dtype=spec.cdtype,
+        )
+        out["masks"] = masks
+
+    if spec.use_b:
+        gam, lam = align_forward(params["AlignM"], patches, h=spec.h, w=spec.w, stage=spec.stage)
+        out["gam"], out["lam"] = gam, lam
+
+    if spec.direct:
+        ori = cls.reshape(cls.shape[0], -1)  # [B, 3D] — concat in (RGB, NI, TI) order
+        ori_bn, new_state["bottleneck"] = bnneck_apply(
+            params["bottleneck"], bn_state["bottleneck"], ori, training=True)
+        out["scores"].append(ori_bn @ params["classifier"]["kernel"])
+        out["feats"].append(ori)
+    else:
+        for i, m in enumerate(("r", "n", "t")):
+            feat = cls[:, i]
+            fbn, new_state[f"bottleneck_{m}"] = bnneck_apply(
+                params[f"bottleneck_{m}"], bn_state[f"bottleneck_{m}"], feat, training=True)
+            out["scores"].append(fbn @ params[f"classifier_{m}"]["kernel"])
+            out["feats"].append(feat)
+
+    if spec.use_a:
+        vbn, new_state["bottleneck_var"] = bnneck_apply(
+            params["bottleneck_var"], bn_state["bottleneck_var"], vars_total, training=True)
+        out["scores"].append(vbn @ params["classifier_var"]["kernel"])
+        out["feats"].append(vars_total)
+
+    return out, new_state
+
+
+def _apply_miss(x: jnp.ndarray, miss: str) -> jnp.ndarray:
+    """Missing-modality eval (TEST.MISS): zero out named modalities.
+
+    The reference declares the knob (`config/defaults.py:173`) without a
+    consumer; here 'r'/'n'/'t' combinations (e.g. 'rn') zero those streams.
+    """
+    if not miss or miss.lower() in ("none", "nothing"):
+        return x
+    idx = {"r": 0, "n": 1, "t": 2}
+    keep = jnp.ones((3,), x.dtype)
+    for ch in miss.lower():
+        if ch in idx:
+            keep = keep.at[idx[ch]].set(0.0)
+    return x * keep[None, :, None, None, None]
+
+
+def forward_eval(
+    params,
+    bn_state,
+    imgs: Dict[str, jnp.ndarray],
+    cam_label,
+    spec: ModelSpec,
+) -> jnp.ndarray:
+    """Inference features: [B, 3D] (no SIM) or [B, 6D] (with SIM),
+    taken BEFORE the BNNecks (TEST.NECK_FEAT='before', `make_model.py:284-290`)."""
+    x = _stack_modalities(imgs)
+    x = _apply_miss(x, spec.miss)
+    patches, cls = _encode(params, spec, x, cam_label)
+    ori = cls.reshape(cls.shape[0], -1)
+    if not spec.use_a:
+        return ori
+    vars_total, _ = sim_forward(
+        params["SIM"], patches, cls,
+        k=spec.topk, keep_ratio=spec.keep_ratio, compute_dtype=spec.cdtype,
+    )
+    return jnp.concatenate([ori, vars_total], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Convenience wrapper mirroring the reference's make_frame factory
+# --------------------------------------------------------------------------
+
+class SignalModel:
+    """Thin OO shell over the functional model (CLI/engine convenience)."""
+
+    def __init__(self, cfg, num_classes: int, camera_num: int, key=None):
+        self.cfg = cfg
+        self.spec = ModelSpec.from_config(cfg, num_classes, camera_num)
+        key = key if key is not None else jax.random.PRNGKey(cfg.SOLVER.SEED)
+        self.params, self.bn_state = init_signal_params(key, self.spec)
+
+    def load_clip(self, path: str):
+        from signal_tpu.models.clip_loader import load_clip_into_params
+
+        self.params = load_clip_into_params(self.params, path, self.spec)
+
+    def __call__(self, imgs, cam_label=None, training=False):
+        if training:
+            out, self.bn_state = forward_train(self.params, self.bn_state, imgs, cam_label, self.spec)
+            return out
+        return forward_eval(self.params, self.bn_state, imgs, cam_label, self.spec)
+
+
+def make_frame(cfg, num_class: int, camera_num: int, view_num: int = 0, key=None) -> SignalModel:
+    """Factory mirroring `modeling/make_model.py:304-319`."""
+    del view_num  # reference never uses views (`meta_arch.py:53`)
+    return SignalModel(cfg, num_class, camera_num, key=key)

@@ -1,0 +1,6 @@
+from signal_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    batch_sharding,
+    param_shardings,
+    replicated,
+)

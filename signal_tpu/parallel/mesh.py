@@ -1,0 +1,91 @@
+"""Device-mesh parallelism: DP + optional TP over ICI.
+
+The reference's only strategy is NCCL DDP (`train.py:46-48`,
+`engine/processor.py:100-105` in maxingan2412/Signal). TPU-native
+replacement: a 2-D ``jax.sharding.Mesh`` ('data', 'model') with GSPMD —
+
+* data parallel: batch dim sharded over 'data'; the gradient all-reduce
+  XLA inserts over ICI replaces DDP's bucketed NCCL all-reduce; BN batch
+  stats become *global*-batch stats (single-GPU semantics, strictly
+  better than DDP's per-replica stats);
+* tensor parallel (no reference equivalent): Megatron-style column/row
+  sharding of attention QKV/out and MLP fc/proj over 'model' — the ViT's
+  768/3072-wide matmuls split cleanly across 2-4 chips;
+* `find_unused_parameters=True` (needed by torch because USE_A/USE_B gate
+  submodules) has no analogue: dead branches simply compile away.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_data: int = -1, num_model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if num_data == -1:
+        num_data = n // num_model
+    assert num_data * num_model == n, (
+        f"mesh {num_data}x{num_model} != {n} devices")
+    arr = np.asarray(devices).reshape(num_data, num_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _spec_for(path: str, leaf) -> P:
+    """Tensor-parallel partition specs for Signal parameter leaves.
+
+    ViT block weights are stacked [layers, ...]; dim 0 is the scan axis.
+    """
+    if "blocks.attn.qkv_kernel" in path:
+        return P(None, None, "model")        # column-parallel (heads split)
+    if "blocks.attn.qkv_bias" in path:
+        return P(None, "model")
+    if "blocks.attn.out_kernel" in path:
+        return P(None, "model", None)        # row-parallel
+    if "blocks.mlp.fc_kernel" in path:
+        return P(None, None, "model")
+    if "blocks.mlp.fc_bias" in path:
+        return P(None, "model")
+    if "blocks.mlp.proj_kernel" in path:
+        return P(None, "model", None)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings for the model params (TP over 'model')."""
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, f"{path}.{k}" if path else k) for k, v in node.items()}
+        return NamedSharding(mesh, _spec_for(path, node))
+
+    return rec(params, "")
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch, mesh: Mesh):
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sh)
+        return x
+
+    return jax.tree.map(put, batch)
