@@ -42,15 +42,23 @@ def main():
         for i, m in enumerate(("RGB", "NI", "TI"))}
     cam = jnp.zeros((B,), jnp.int32)
 
-    fn = jax.jit(lambda p, s, x, c: forward_eval(p, s, x, c, spec))
-    out = fn(params, bn_state, imgs, cam)
-    out.block_until_ready()  # compile
-
+    # N iterations chained on device inside one executable; the host fetch
+    # of the scalar checksum is the sync point (block_until_ready is
+    # unreliable through the remote-TPU tunnel, and per-iter fetches would
+    # measure tunnel latency instead of throughput). A per-iteration input
+    # perturbation stops XLA from hoisting the loop-invariant forward.
     n_iters = 20
+
+    @jax.jit
+    def run_n(p, s, x, c):
+        def body(i, acc):
+            xi = {k: v + 1e-6 * i.astype(jnp.float32) for k, v in x.items()}
+            return acc + jnp.sum(forward_eval(p, s, xi, c, spec))
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    float(run_n(params, bn_state, imgs, cam))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(params, bn_state, imgs, cam)
-    out.block_until_ready()
+    float(run_n(params, bn_state, imgs, cam))
     dt = time.perf_counter() - t0
 
     imgs_per_s = B * n_iters / dt

@@ -56,6 +56,7 @@ class ModelConfig:
     # --- TPU-native knobs (no reference equivalent) ---
     COMPUTE_DTYPE: str = "bfloat16"   # matmul dtype; LN/softmax stay fp32
     USE_PALLAS_ATTENTION: bool = True  # fused flash-attention kernel on TPU
+    REMAT: bool = True                 # per-block rematerialization in backward
 
 
 @dataclass

@@ -142,9 +142,51 @@ def build_dataset(name: str, root: str) -> ReIDDataset:
             query=_scan_msvr310(osp.join(base, "query3"), relabel=False),
             gallery=_scan_msvr310(osp.join(base, "bounding_box_test"), relabel=False),
         )
+    if name in ("market1501", "dukemtmc", "msmt17"):
+        return _legacy_single_modality(name, root)
     if name == "synthetic":
         return synthetic_dataset()
     raise KeyError(f"Unknown dataset {name!r}")
+
+
+def _scan_market_style(dir_path: str, relabel: bool) -> List[Record]:
+    """Market-1501-style `(pid)_c(cam)` jpgs; single modality replicated to
+    the 3-stream pipeline (legacy datasets are registered-but-unused in the
+    reference Signal configs, `data/datasets/make_dataloader.py:15-22`)."""
+    paths = sorted(glob.glob(osp.join(dir_path, "*.jpg")))
+    pattern = re.compile(r"([-\d]+)_c(\d+)")
+    pids = sorted({int(pattern.search(p).group(1)) for p in paths
+                   if int(pattern.search(p).group(1)) != -1})
+    pid2label = {pid: i for i, pid in enumerate(pids)}
+    data = []
+    for p in paths:
+        pid, camid = map(int, pattern.search(p).groups())
+        if pid == -1:
+            continue  # junk images
+        if relabel:
+            pid = pid2label[pid]
+        data.append(((p, p, p), pid, camid - 1, -1))
+    return data
+
+
+_LEGACY_DIRS = {
+    "market1501": ("Market-1501-v15.09.15",
+                   "bounding_box_train", "query", "bounding_box_test"),
+    "dukemtmc": ("DukeMTMC-reID",
+                 "bounding_box_train", "query", "bounding_box_test"),
+    "msmt17": ("MSMT17", "train", "query", "test"),
+}
+
+
+def _legacy_single_modality(name: str, root: str) -> ReIDDataset:
+    sub, train_d, query_d, gallery_d = _LEGACY_DIRS[name]
+    base = osp.join(root, sub)
+    return ReIDDataset(
+        name,
+        train=_scan_market_style(osp.join(base, train_d), relabel=True),
+        query=_scan_market_style(osp.join(base, query_d), relabel=False),
+        gallery=_scan_market_style(osp.join(base, gallery_d), relabel=False),
+    )
 
 
 def synthetic_dataset(num_pids: int = 8, per_pid: int = 10, num_cams: int = 4,

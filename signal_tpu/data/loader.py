@@ -84,6 +84,49 @@ class _BatchLoader:
         name = (paths if isinstance(paths, str) else paths[0]).split("/")[-1]
         return arrs, pid, camid, trackid, name
 
+    def _native_eligible(self, batch_idx) -> bool:
+        """Whole-batch C++ decode applies to the deterministic val
+        transform over on-disk jpgs (3-file tuples or packed singles)."""
+        from signal_tpu.data.transforms import ValTransform
+
+        if not isinstance(self.transform, ValTransform):
+            return False
+        from signal_tpu.data import native_decoder
+
+        if not native_decoder.available():
+            return False
+        paths0 = [self.records[i][0] for i in batch_idx]
+        return (all(isinstance(p, str) and p.endswith(".jpg") for p in paths0)
+                or all(isinstance(p, tuple) and
+                       all(q.endswith(".jpg") for q in p) for p in paths0))
+
+    def _decode_native_batch(self, batch_idx, pad_count: int) -> Dict:
+        from signal_tpu.data import native_decoder
+
+        records = [self.records[i] for i in batch_idx]
+        paths0 = [r[0] for r in records]
+        h, w = self.transform.size
+        mean, std = self.transform.mean, self.transform.std
+        if isinstance(paths0[0], str):
+            arrs = native_decoder.decode_batch_packed(
+                paths0, h, w, mean, std, self.num_threads)      # [B, 3m, 3c, H, W]
+        else:
+            flat = [q for p in paths0 for q in p]
+            dec = native_decoder.decode_batch(flat, h, w, mean, std,
+                                              self.num_threads)
+            arrs = dec.reshape(len(records), 3, 3, h, w)
+        batch = {
+            "imgs": {"RGB": arrs[:, 0], "NI": arrs[:, 1], "TI": arrs[:, 2]},
+            "pids": np.asarray([r[1] for r in records], np.int64),
+            "camids": np.asarray([r[2] for r in records], np.int64),
+            "trackids": np.asarray([r[3] for r in records], np.int64),
+            "valid": arrs.shape[0] - pad_count,
+        }
+        if self.include_paths:
+            batch["names"] = [(p if isinstance(p, str) else p[0]).split("/")[-1]
+                              for p in paths0]
+        return batch
+
     def __iter__(self) -> Iterator[Dict]:
         indices = list(self.index_source())
         self._epoch += 1
@@ -101,17 +144,28 @@ class _BatchLoader:
         with cf.ThreadPoolExecutor(self.num_threads) as pool:
             pending = None
             for bi, batch_idx in enumerate(batches):
-                keys = [int(np.random.SeedSequence(
-                            (self.seed, self._epoch, bi, j)).generate_state(1)[0])
-                        for j in range(len(batch_idx))]
-                futs = [pool.submit(self._load_one, idx, k)
-                        for idx, k in zip(batch_idx, keys)]
-                if pending is not None:
-                    yield self._collate(*pending)
                 is_last = bi == len(batches) - 1
-                pending = (futs, pad_count if is_last else 0)
+                pad = pad_count if is_last else 0
+                if self._native_eligible(batch_idx):
+                    futs = [pool.submit(self._decode_native_batch, batch_idx, pad)]
+                    native = True
+                else:
+                    keys = [int(np.random.SeedSequence(
+                                (self.seed, self._epoch, bi, j)).generate_state(1)[0])
+                            for j in range(len(batch_idx))]
+                    futs = [pool.submit(self._load_one, idx, k)
+                            for idx, k in zip(batch_idx, keys)]
+                    native = False
+                if pending is not None:
+                    yield self._finish(*pending)
+                pending = (futs, pad, native)
             if pending is not None:
-                yield self._collate(*pending)
+                yield self._finish(*pending)
+
+    def _finish(self, futs, pad_count: int, is_native: bool) -> Dict:
+        if is_native:
+            return futs[0].result()
+        return self._collate(futs, pad_count)
 
     def _collate(self, futs, pad_count: int) -> Dict:
         items = [f.result() for f in futs]
@@ -128,10 +182,16 @@ class _BatchLoader:
         return batch
 
 
-def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
+def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None,
+                    num_shards: int = 1, shard_index: int = 0):
     """→ (train_loader, train_loader_normal, val_loader, num_query,
          num_classes, cam_num, view_num) — the reference's 7-tuple
-    (`make_dataloader.py:185-257`)."""
+    (`make_dataloader.py:185-257`).
+
+    ``num_shards``/``shard_index``: per-host slicing of the global PK order
+    for multi-host training (replaces the reference's gloo-synced DDP
+    sampler, `sampler_ddp.py:13-202` — every host derives the same global
+    order from the shared seed, no collective needed)."""
     if dataset is None:
         dataset = build_dataset(cfg.DATASETS.NAMES, cfg.DATASETS.ROOT_DIR)
 
@@ -143,10 +203,23 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
                                     cfg.DATALOADER.NUM_INSTANCE, cfg.SOLVER.SEED)
     nthreads = max(1, cfg.DATALOADER.NUM_WORKERS)
 
+    if num_shards > 1:
+        from signal_tpu.data.sampler import shard_indices
+
+        global_bs = cfg.SOLVER.IMS_PER_BATCH
+        index_source = lambda: shard_indices(  # noqa: E731
+            sampler.epoch_indices(), num_shards, shard_index, global_bs)
+        local_bs = global_bs // num_shards
+        hint = sampler.length // num_shards
+    else:
+        index_source = sampler.epoch_indices
+        local_bs = cfg.SOLVER.IMS_PER_BATCH
+        hint = sampler.length
+
     train_loader = _BatchLoader(
-        dataset.train, train_tf, cfg.SOLVER.IMS_PER_BATCH,
-        sampler.epoch_indices, drop_last=True, seed=cfg.SOLVER.SEED,
-        num_threads=nthreads, num_samples_hint=sampler.length)
+        dataset.train, train_tf, local_bs,
+        index_source, drop_last=True, seed=cfg.SOLVER.SEED,
+        num_threads=nthreads, num_samples_hint=hint)
 
     train_loader_normal = _BatchLoader(
         dataset.train, val_tf, cfg.TEST.IMS_PER_BATCH,

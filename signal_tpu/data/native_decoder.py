@@ -1,0 +1,86 @@
+"""ctypes bridge to the native batched JPEG decoder (native/decoder.cpp).
+
+Falls back to the PIL path transparently when the shared library hasn't
+been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "libsignal_decoder.so")
+_lib = None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    for fn in (lib.signal_decode_batch, lib.signal_decode_batch_packed):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+    _lib = lib
+    return lib
+
+
+def _c_paths(paths: Sequence[str]):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def decode_batch(paths: Sequence[str], out_h: int, out_w: int,
+                 mean, std, num_threads: int = 4) -> Optional[np.ndarray]:
+    """→ [N, 3, H, W] float32 or None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, 3, out_h, out_w), np.float32)
+    m = np.ascontiguousarray(mean, np.float32)
+    s = np.ascontiguousarray(std, np.float32)
+    fails = lib.signal_decode_batch(
+        _c_paths(paths), n, out_h, out_w,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+    if fails:
+        raise IOError(f"native decoder: {fails}/{n} images failed to decode")
+    return out
+
+
+def decode_batch_packed(paths: Sequence[str], out_h: int, out_w: int,
+                        mean, std, num_threads: int = 4) -> Optional[np.ndarray]:
+    """Packed RGB|NI|TI jpgs → [N, 3modal, 3ch, H, W] float32, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, 3, 3, out_h, out_w), np.float32)
+    m = np.ascontiguousarray(mean, np.float32)
+    s = np.ascontiguousarray(std, np.float32)
+    fails = lib.signal_decode_batch_packed(
+        _c_paths(paths), n, out_h, out_w,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+    if fails:
+        raise IOError(f"native decoder: {fails}/{n} images failed to decode")
+    return out

@@ -44,7 +44,7 @@ class TrainState:
     params: Any
     bn_state: Any
     opt_state: Any
-    sgd_buf: Any = None  # momentum buffers when OPTIMIZER_NAME == 'SGD'
+    centers: Any = None  # center-loss class centers (when enabled)
 
 
 def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
@@ -54,20 +54,37 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
     pat_w = cfg.MODEL.PAT_Loss_weight
     use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
     momentum = cfg.SOLVER.MOMENTUM
+    use_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
+    center_w = cfg.SOLVER.CENTER_LOSS_WEIGHT
+    center_lr = cfg.SOLVER.CENTER_LR
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, bn_state, opt_state, batch, lr_a, lr_b, group_trees):
+    def train_step(params, bn_state, opt_state, batch, lr_a, lr_b, group_trees,
+                   rng=None, centers=None):
         base_lr_tree, wd_tree, trainable_tree = group_trees
 
-        def objective(p):
-            out, new_bn = forward_train(p, bn_state, batch["imgs"], batch["camids"], spec)
+        def objective(p, c):
+            out, new_bn = forward_train(p, bn_state, batch["imgs"], batch["camids"],
+                                        spec, rng=rng)
             loss = total_train_loss(out, batch["pids"], loss_fn,
                                     gram_weight=gram_w, pat_weight=pat_w)
+            if use_center and c is not None:
+                from signal_tpu.losses import center_loss
+
+                loss = loss + center_w * center_loss(c, out["feats"][0], batch["pids"])
             acc = jnp.mean(
                 (jnp.argmax(out["scores"][0], axis=1) == batch["pids"]).astype(jnp.float32))
             return loss, (new_bn, acc)
 
-        (loss, (new_bn, acc)), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        if use_center and centers is not None:
+            (loss, (new_bn, acc)), (grads, center_grad) = jax.value_and_grad(
+                objective, argnums=(0, 1), has_aux=True)(params, centers)
+            # reference: center grads scaled by 1/CENTER_LOSS_WEIGHT, plain
+            # SGD(lr=CENTER_LR) (`processor.py:264-269`, `make_optimizer.py:43`)
+            centers = centers - center_lr * (center_grad / center_w)
+        else:
+            (loss, (new_bn, acc)), grads = jax.value_and_grad(
+                lambda p: objective(p, None), has_aux=True)(params)
         if use_sgd:
             new_params, new_opt = sgd_update(
                 grads, opt_state, params,
@@ -79,7 +96,7 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
                 grads, opt_state, params,
                 base_lr_tree=base_lr_tree, wd_tree=wd_tree,
                 trainable_tree=trainable_tree, lr_a=lr_a, lr_b=lr_b)
-        return new_params, new_bn, new_opt, loss, acc
+        return new_params, new_bn, new_opt, loss, acc, centers
 
     return train_step
 
@@ -110,6 +127,7 @@ def do_train(
     params=None,
     bn_state=None,
     max_steps_per_epoch: Optional[int] = None,
+    resume_from: Optional[str] = None,
 ) -> TrainState:
     """Main training loop. Returns the final TrainState."""
     key = key if key is not None else jax.random.PRNGKey(cfg.SOLVER.SEED)
@@ -143,23 +161,49 @@ def do_train(
     ckpt_dir = os.path.join(cfg.OUTPUT_DIR, cfg.ckpt_save_path)
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    state = TrainState(params, bn_state, opt_state)
+    centers = None
+    if "center" in cfg.MODEL.METRIC_LOSS_TYPE:
+        # reference hardcodes feat_dim=2048 (`make_loss.py:59`) which never
+        # matches the actual heads; size to the first head's feature
+        cdim = 3 * spec.feat_dim if spec.direct else spec.feat_dim
+        centers = jax.random.normal(jax.random.fold_in(key, 7),
+                                    (num_classes, cdim), jnp.float32)
+
+    state = TrainState(params, bn_state, opt_state, centers)
+    start_epoch = 1
+    if resume_from:
+        from signal_tpu.utils.checkpoint import load_checkpoint
+
+        tree = load_checkpoint(resume_from, {
+            "params": state.params, "bn_state": state.bn_state,
+            "opt_state": state.opt_state, "epoch": 0})
+        state.params = tree["params"]
+        state.bn_state = tree["bn_state"]
+        state.opt_state = tree["opt_state"]
+        start_epoch = int(tree["epoch"]) + 1
+        logger.info("Resumed from %s at epoch %d", resume_from, start_epoch)
+
     log_period = cfg.SOLVER.LOG_PERIOD
     from signal_tpu.engine.eval import make_eval_step
 
     eval_step = make_eval_step(spec)  # built once — re-jitting per epoch recompiles
 
-    for epoch in range(1, cfg.SOLVER.MAX_EPOCHS + 1):
+    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS + 1):
         t0 = time.time()
         loss_meter.reset()
         acc_meter.reset()
         lr_a, lr_b = schedule_coeffs(cfg, epoch)
         n_iter = 0
+        needs_rng = spec.backbone == "imagenet" and spec.drop_path > 0
         for n_iter, batch in enumerate(train_loader):
             db = _device_batch(batch, mesh)
-            state.params, state.bn_state, state.opt_state, loss, acc = train_step(
+            step_rng = (jax.random.fold_in(key, epoch * 100000 + n_iter)
+                        if needs_rng else None)
+            (state.params, state.bn_state, state.opt_state, loss, acc,
+             state.centers) = train_step(
                 state.params, state.bn_state, state.opt_state, db,
-                jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
+                jnp.float32(lr_a), jnp.float32(lr_b), group_trees, step_rng,
+                state.centers)
             loss_meter.update(float(loss), batch["imgs"]["RGB"].shape[0])
             acc_meter.update(float(acc), 1)
             if (n_iter + 1) % log_period == 0:
@@ -176,7 +220,10 @@ def do_train(
                     cfg.SOLVER.IMS_PER_BATCH / time_per_batch)
 
         if epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
-            _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}_{epoch}"), state)
+            # full resumable snapshot (params + BN + optimizer + epoch) — the
+            # reference saves model-only and cannot resume (`processor.py:310-321`)
+            _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}_{epoch}"),
+                             state, epoch=epoch, full=True)
 
         if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and val_loader is not None:
             mAP, cmc = _neat_eval(cfg, spec, state, val_loader, evaluator, epoch,
@@ -208,7 +255,12 @@ def _neat_eval(cfg, spec, state, val_loader, evaluator, epoch, eval_step=None):
     return mAP, cmc
 
 
-def _save_checkpoint(path: str, state: TrainState):
+def _save_checkpoint(path: str, state: TrainState, epoch: int = 0,
+                     full: bool = False):
     from signal_tpu.utils.checkpoint import save_checkpoint
 
-    save_checkpoint(path, {"params": state.params, "bn_state": state.bn_state})
+    tree = {"params": state.params, "bn_state": state.bn_state}
+    if full:
+        tree["opt_state"] = state.opt_state
+        tree["epoch"] = epoch
+    save_checkpoint(path, tree)

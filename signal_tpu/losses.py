@@ -91,6 +91,31 @@ def init_center_params(key, num_classes: int, feat_dim: int = 2048):
     return {"centers": jax.random.normal(key, (num_classes, feat_dim), jnp.float32)}
 
 
+def supcon_loss(text_feats: jnp.ndarray, image_feats: jnp.ndarray,
+                t_labels: jnp.ndarray, i_labels: jnp.ndarray,
+                temperature: float = 1.0) -> jnp.ndarray:
+    """Supervised contrastive loss between modalities (the reference's
+    `layers/supcontrast.py` semantics, used by CLIP-ReID prompt training):
+    for each text anchor, positives are images of the same identity."""
+    t = text_feats / (jnp.linalg.norm(text_feats, axis=1, keepdims=True) + 1e-12)
+    i = image_feats / (jnp.linalg.norm(image_feats, axis=1, keepdims=True) + 1e-12)
+    logits = jnp.matmul(t, i.T, precision=jax.lax.Precision.HIGHEST) / temperature
+    pos = (t_labels[:, None] == i_labels[None, :]).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=1)
+    per_anchor = jnp.sum(pos * logp, axis=1) / jnp.maximum(jnp.sum(pos, axis=1), 1.0)
+    return -jnp.mean(per_anchor)
+
+
+def i2t_cross_entropy(image_feats: jnp.ndarray, text_class_feats: jnp.ndarray,
+                      labels: jnp.ndarray, logit_scale: float = 100.0) -> jnp.ndarray:
+    """Image-to-text classification CE over per-class text features
+    (CLIP-ReID stage-2's xent(image_logits, target))."""
+    i = image_feats / (jnp.linalg.norm(image_feats, axis=1, keepdims=True) + 1e-12)
+    t = text_class_feats / (jnp.linalg.norm(text_class_feats, axis=1, keepdims=True) + 1e-12)
+    logits = logit_scale * jnp.matmul(i, t.T, precision=jax.lax.Precision.HIGHEST)
+    return cross_entropy(logits, labels)
+
+
 def make_loss(cfg, num_classes: int) -> Callable:
     """Per-head loss closure mirroring `make_loss.py:29-193`.
 

@@ -35,11 +35,13 @@ class ModelSpec:
     """Hashable static model description (safe as a jit static arg)."""
     num_classes: int
     camera_num: int
-    feat_dim: int = 512          # CLIP ViT-B/16 output dim
+    backbone: str = "clip"       # 'clip' (ViT-B-16) | 'imagenet' (timm ViT)
+    feat_dim: int = 512          # CLIP ViT-B/16 output dim (768 imagenet)
     width: int = 768
     layers: int = 12
     num_heads: int = 12
     patch_size: int = 16
+    stride_size: int = 16
     h: int = 16                  # patch-grid height  (SIZE_TRAIN[0] / 16)
     w: int = 8                   # patch-grid width   (SIZE_TRAIN[1] / 16)
     direct: bool = True
@@ -52,6 +54,9 @@ class ModelSpec:
     stage: str = "together_CLS_Patch"
     compute_dtype: str = "bfloat16"
     use_flash: bool = False
+    drop_path: float = 0.0       # imagenet tower stochastic depth
+    adapter: bool = False        # MODEL.ADAPTER (MambaPro parallel adapter)
+    remat: bool = True           # per-block rematerialization (backward)
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
 
     @classmethod
@@ -59,9 +64,17 @@ class ModelSpec:
         h = cfg.INPUT.SIZE_TRAIN[0] // cfg.MODEL.STRIDE_SIZE[0]
         w = cfg.INPUT.SIZE_TRAIN[1] // cfg.MODEL.STRIDE_SIZE[1]
         keep_ratio = cfg.MODEL.KEEP_RATIO if cfg.MODEL.FIXED_KEEP_RATIO else None
+        ttype = cfg.MODEL.TRANSFORMER_TYPE
+        if "ViT-B-16" in ttype:
+            backbone, feat_dim = "clip", 512          # `make_model.py:49-52`
+        else:
+            backbone, feat_dim = "imagenet", 768
         return cls(
             num_classes=num_classes,
             camera_num=camera_num,
+            backbone=backbone,
+            feat_dim=feat_dim,
+            stride_size=int(cfg.MODEL.STRIDE_SIZE[0]),
             h=h,
             w=w,
             direct=bool(cfg.MODEL.DIRECT),
@@ -74,6 +87,9 @@ class ModelSpec:
             stage=cfg.MODEL.stageName.strip(),
             compute_dtype=cfg.MODEL.COMPUTE_DTYPE,
             use_flash=bool(cfg.MODEL.USE_PALLAS_ATTENTION),
+            drop_path=float(cfg.MODEL.DROP_PATH),
+            adapter=bool(cfg.MODEL.ADAPTER),
+            remat=bool(getattr(cfg.MODEL, "REMAT", True)),
             miss=str(cfg.TEST.MISS),
         )
 
@@ -92,17 +108,31 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
     params: Dict[str, Any] = {}
     bn_state: Dict[str, Any] = {}
 
-    params["base"] = vit_mod.init_vit_params(
-        ks[0],
-        h_resolution=spec.h,
-        w_resolution=spec.w,
-        patch_size=spec.patch_size,
-        width=spec.width,
-        layers=spec.layers,
-        output_dim=spec.feat_dim,
-    )
-    if spec.sie_camera:
-        params["cv_embed"] = trunc_normal(ks[1], (spec.camera_num, spec.width), 0.02)
+    if spec.backbone == "clip":
+        params["base"] = vit_mod.init_vit_params(
+            ks[0],
+            h_resolution=spec.h,
+            w_resolution=spec.w,
+            patch_size=spec.patch_size,
+            width=spec.width,
+            layers=spec.layers,
+            output_dim=spec.feat_dim,
+            adapter=spec.adapter,
+        )
+        if spec.sie_camera:
+            params["cv_embed"] = trunc_normal(ks[1], (spec.camera_num, spec.width), 0.02)
+    else:
+        from signal_tpu.models.vit_imagenet import init_imagenet_vit_params
+
+        params["base"] = init_imagenet_vit_params(
+            ks[0],
+            img_size=(spec.h * spec.stride_size, spec.w * spec.stride_size),
+            patch_size=spec.patch_size,
+            stride_size=spec.stride_size,
+            width=spec.width,
+            layers=spec.layers,
+            camera_num=spec.camera_num if spec.sie_camera else 0,
+        )
 
     def classifier(k, din):
         # reference classifier init: normal(std=0.001), no bias
@@ -127,20 +157,37 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
     return params, bn_state
 
 
-def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
+            rng=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """imgs [B, 3(modal), 3(ch), H, W] → patches [B, 3, L, D], cls [B, 3, D]."""
     B = imgs.shape[0]
     x = imgs.reshape(B * 3, *imgs.shape[2:])
-    cv = None
-    if spec.sie_camera and cam_label is not None:
-        cv = spec.sie_coe * params["cv_embed"][cam_label]     # [B, width]
-        cv = jnp.tile(cv, (3, 1))
-    patches, cls = vit_mod.vit_forward(
-        params["base"], x, cv,
-        num_heads=spec.num_heads,
-        compute_dtype=spec.cdtype,
-        use_flash=spec.use_flash,
-    )
+    if spec.backbone == "clip":
+        cv = None
+        if spec.sie_camera and cam_label is not None:
+            cv = spec.sie_coe * params["cv_embed"][cam_label]     # [B, width]
+            cv = jnp.tile(cv, (3, 1))
+        patches, cls = vit_mod.vit_forward(
+            params["base"], x, cv,
+            num_heads=spec.num_heads,
+            compute_dtype=spec.cdtype,
+            use_flash=spec.use_flash,
+            remat=spec.remat,
+        )
+    else:
+        from signal_tpu.models.vit_imagenet import imagenet_vit_forward
+
+        cams = jnp.tile(cam_label, (3,)) if cam_label is not None else None
+        patches, cls = imagenet_vit_forward(
+            params["base"], x, cams,
+            sie_xishu=spec.sie_coe,
+            num_heads=spec.num_heads,
+            stride_size=spec.stride_size,
+            drop_path_rate=spec.drop_path if rng is not None else 0.0,
+            rng=rng,
+            compute_dtype=spec.cdtype,
+            use_flash=spec.use_flash,
+        )
     L, D = patches.shape[1], patches.shape[2]
     patches = patches.reshape(B, 3, L, D)
     cls = cls.reshape(B, 3, D)
@@ -157,6 +204,7 @@ def forward_train(
     imgs: Dict[str, jnp.ndarray],
     cam_label,
     spec: ModelSpec,
+    rng=None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Training forward. Returns (outputs, new_bn_state).
 
@@ -167,7 +215,7 @@ def forward_train(
     (vars_score, vars_total) if USE_A.
     """
     x = _stack_modalities(imgs)
-    patches, cls = _encode(params, spec, x, cam_label)
+    patches, cls = _encode(params, spec, x, cam_label, rng=rng)
     new_state = dict(bn_state)
     out: Dict[str, Any] = {"scores": [], "feats": [], "gam": None, "lam": None, "masks": None}
 

@@ -47,6 +47,7 @@ def init_vit_params(
     width: int = 768,
     layers: int = 12,
     output_dim: int = 512,
+    adapter: bool = False,
     dtype=jnp.float32,
 ):
     """Random init (CLIP checkpoints overwrite these in practice)."""
@@ -73,17 +74,22 @@ def init_vit_params(
         return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
     ln_unit = lambda: init_layer_norm(width, dtype)  # noqa: E731
+    blocks = {
+        "ln_1": stack([ln_unit() for _ in range(layers)]),
+        "attn": stack(attn),
+        "ln_2": stack([ln_unit() for _ in range(layers)]),
+        "mlp": stack(mlps),
+    }
+    if adapter:
+        blocks["adapter"] = stack([
+            init_adapter_params(k, width, dtype)
+            for k in jax.random.split(keys[4], layers)])
     return {
         "conv1": {"kernel": trunc_normal(keys[0], (patch_size, patch_size, 3, width), scale, dtype)},
         "class_embedding": scale * jax.random.normal(keys[1], (width,), dtype),
         "positional_embedding": scale * jax.random.normal(keys[2], (n_tokens, width), dtype),
         "ln_pre": ln_unit(),
-        "blocks": {
-            "ln_1": stack([ln_unit() for _ in range(layers)]),
-            "attn": stack(attn),
-            "ln_2": stack([ln_unit() for _ in range(layers)]),
-            "mlp": stack(mlps),
-        },
+        "blocks": blocks,
         "ln_post": ln_unit(),
         "proj": scale * jax.random.normal(keys[3], (width, output_dim), dtype),
     }
@@ -100,7 +106,27 @@ def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool):
     h = layer_norm(params["ln_2"], x)
     h = quick_gelu(linear(params["mlp"]["fc_kernel"], params["mlp"]["fc_bias"], h, compute_dtype))
     h = linear(params["mlp"]["proj_kernel"], params["mlp"]["proj_bias"], h, compute_dtype)
+    if "adapter" in params:
+        # MambaPro parallel adapter (`clip/model.py:206-209,233-237`):
+        # x = x + mlp(ln2 x) + adapter(x), adapter = d→d/2→QuickGELU→d
+        a = quick_gelu(linear(params["adapter"]["down_kernel"],
+                              params["adapter"]["down_bias"], x, compute_dtype))
+        a = linear(params["adapter"]["up_kernel"], params["adapter"]["up_bias"],
+                   a, compute_dtype)
+        h = h + a
     return x + h
+
+
+def init_adapter_params(key, width: int, dtype=jnp.float32):
+    """MODEL.ADAPTER branch params for one block (stack per layer)."""
+    k1, k2 = jax.random.split(key)
+    half = width // 2
+    return {
+        "down_kernel": trunc_normal(k1, (width, half), 0.02, dtype),
+        "down_bias": jnp.zeros((half,), dtype),
+        "up_kernel": trunc_normal(k2, (half, width), 0.02, dtype),
+        "up_bias": jnp.zeros((width,), dtype),
+    }
 
 
 def vit_forward(
@@ -111,11 +137,17 @@ def vit_forward(
     num_heads: int = 12,
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_intermediate: bool = False,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, ...]:
     """images [B, 3, H, W] → (patch_tokens [B, L, out], cls [B, out]).
 
     ``cv_emb`` [B, width]: SIE camera embedding added to the CLS token only
     (reference `clip/model.py:454-456`).
+
+    ``return_intermediate``: return CLIP-ReID's triple instead —
+    (x after layer 11 [B, L+1, width], ln_post output [B, L+1, width],
+    projected [B, L+1, out]).
     """
     B = images.shape[0]
     kernel = params["conv1"]["kernel"]
@@ -141,32 +173,73 @@ def vit_forward(
     x = x + params["positional_embedding"].astype(jnp.float32)[None]
     x = layer_norm(params["ln_pre"], x)
 
+    block_fn = lambda lp, h: _block(lp, h, num_heads=num_heads,  # noqa: E731
+                                    compute_dtype=compute_dtype,
+                                    use_flash=use_flash)
+    if remat:
+        # scan-over-remat: backward recomputes each block's activations —
+        # 12 ViT-B blocks at [3B, 129, 768] fp32 otherwise blow out HBM
+        # (measured: 22.7G > 15.75G on v5e at the reference's B=64)
+        block_fn = jax.checkpoint(block_fn)
+
     def body(carry, layer_params):
-        return _block(layer_params, carry, num_heads=num_heads,
-                      compute_dtype=compute_dtype, use_flash=use_flash), None
+        return block_fn(layer_params, carry), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    if return_intermediate:
+        # split the scan so the penultimate layer's output is observable
+        # (CLIP-ReID consumes it as `image_features_last`)
+        n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
+        head = jax.tree.map(lambda a: a[: n_layers - 1], params["blocks"])
+        tail = jax.tree.map(lambda a: a[n_layers - 1], params["blocks"])
+        x_last, _ = jax.lax.scan(body, x, head)
+        x = block_fn(tail, x_last)
+    else:
+        x, _ = jax.lax.scan(body, x, params["blocks"])
 
-    x = layer_norm(params["ln_post"], x)
-    x = jnp.dot(
-        x.astype(compute_dtype),
+    x_post = layer_norm(params["ln_post"], x)
+    x_proj = jnp.dot(
+        x_post.astype(compute_dtype),
         params["proj"].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    return x[:, 1:], x[:, 0]
+    if return_intermediate:
+        return x_last, x_post, x_proj
+    return x_proj[:, 1:], x_proj[:, 0]
+
+
+def _bilinear_resize_no_aa(grid: jnp.ndarray, h_new: int, w_new: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False) semantics:
+    half-pixel centers, NO antialiasing on downsample, edge clamping.
+    (jax.image.resize antialiases when downsampling — different output.)
+    grid: [H, W, C]."""
+    H, W, C = grid.shape
+
+    def axis_weights(n_old, n_new):
+        out = (jnp.arange(n_new, dtype=jnp.float32) + 0.5) * (n_old / n_new) - 0.5
+        i0 = jnp.clip(jnp.floor(out), 0, n_old - 1).astype(jnp.int32)
+        i1 = jnp.clip(i0 + 1, 0, n_old - 1)
+        frac = jnp.clip(out - jnp.floor(out), 0.0, 1.0)
+        frac = jnp.where(out < 0, 0.0, frac)  # edge clamp below 0
+        return i0, i1, frac
+
+    y0, y1, fy = axis_weights(H, h_new)
+    x0, x1, fx = axis_weights(W, w_new)
+    top = grid[y0][:, x0] * (1 - fx)[None, :, None] + grid[y0][:, x1] * fx[None, :, None]
+    bot = grid[y1][:, x0] * (1 - fx)[None, :, None] + grid[y1][:, x1] * fx[None, :, None]
+    return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
 
 
 def resize_pos_embed(posemb: jnp.ndarray, h_new: int, w_new: int) -> jnp.ndarray:
     """Bilinear-resize a square [L+1, width] pos-embed grid to (h_new, w_new).
 
-    Matches the reference's checkpoint-load resize
-    (`clip/model.py:712-729`): token 0 kept, grid reshaped to
-    gs×gs and ``F.interpolate(mode='bilinear')`` (align_corners=False ≡
-    jax.image.resize 'bilinear' half-pixel centers).
+    Matches the reference's checkpoint-load resize (`clip/model.py:712-729`):
+    token 0 kept, grid reshaped to gs×gs, torch-style bilinear
+    (align_corners=False, no antialias — width DOWNSAMPLES 14→8 for ReID
+    aspect ratios, where antialiased resizers diverge).
     """
     tok, grid = posemb[:1], posemb[1:]
     gs_old = int(math.sqrt(grid.shape[0]))
     width = grid.shape[-1]
-    grid = grid.reshape(gs_old, gs_old, width)
-    grid = jax.image.resize(grid, (h_new, w_new, width), method="bilinear")
-    return jnp.concatenate([tok, grid.reshape(h_new * w_new, width)], axis=0)
+    grid = grid.reshape(gs_old, gs_old, width).astype(jnp.float32)
+    grid = _bilinear_resize_no_aa(grid, h_new, w_new)
+    return jnp.concatenate([tok, grid.reshape(h_new * w_new, width).astype(posemb.dtype)], axis=0)

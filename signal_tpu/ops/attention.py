@@ -59,8 +59,10 @@ def linear(kernel: jnp.ndarray, bias, x: jnp.ndarray, compute_dtype=jnp.bfloat16
     return y
 
 
-def _attention_core(q, k, v, num_heads: int, compute_dtype=jnp.bfloat16):
-    """Softmax attention. q: [B, Lq, D], k/v: [B, Lk, D] (post-projection)."""
+def _attention_core(q, k, v, num_heads: int, compute_dtype=jnp.bfloat16,
+                    mask=None):
+    """Softmax attention. q: [B, Lq, D], k/v: [B, Lk, D] (post-projection).
+    ``mask``: additive [Lq, Lk] bias (e.g. causal −inf upper triangle)."""
     B, Lq, D = q.shape
     Lk = k.shape[1]
     hd = D // num_heads
@@ -76,6 +78,8 @@ def _attention_core(q, k, v, num_heads: int, compute_dtype=jnp.bfloat16):
         preferred_element_type=jnp.float32,
         precision=_prec(compute_dtype),
     )
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)[None, None]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd",
@@ -95,6 +99,7 @@ def mha(
     num_heads: int,
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
+    mask=None,
 ) -> jnp.ndarray:
     """Multi-head (self or cross) attention with torch packed-QKV layout.
 
@@ -110,12 +115,12 @@ def mha(
     q = linear(wq, bq, q_in, compute_dtype)
     k = linear(wk, bk, kv_in, compute_dtype)
     v = linear(wv, bv, kv_in, compute_dtype)
-    if use_flash:
+    if use_flash and mask is None:
         from signal_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, num_heads=num_heads)
     else:
-        out = _attention_core(q, k, v, num_heads, compute_dtype)
+        out = _attention_core(q, k, v, num_heads, compute_dtype, mask=mask)
     return linear(params["out_kernel"], params["out_bias"], out, compute_dtype)
 
 

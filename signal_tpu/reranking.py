@@ -37,7 +37,7 @@ def _rank_matrix(dist: jnp.ndarray) -> jnp.ndarray:
     return ranks.at[rows, order].set(pos)
 
 
-@partial(jax.jit, static_argnames=("k1", "k2", "block"))
+@partial(jax.jit, static_argnames=("num_query", "k1", "k2", "block"))
 def _re_ranking_core(original_dist: jnp.ndarray, num_query: int,
                      k1: int, k2: int, lambda_value: float,
                      block: int = 32) -> jnp.ndarray:
@@ -105,5 +105,6 @@ def re_ranking(probFea, galFea, k1: int, k2: int, lambda_value: float,
         original_dist = sq[:, None] + sq[None, :] - 2.0 * feat @ feat.T
         if local_distmat is not None:
             original_dist = original_dist + jnp.asarray(local_distmat, jnp.float32)
-    out = _re_ranking_core(original_dist, num_query, int(k1), int(k2), float(lambda_value))
+    out = _re_ranking_core(original_dist, int(num_query), int(k1), int(k2),
+                           float(lambda_value))
     return np.asarray(out)

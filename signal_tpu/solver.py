@@ -75,6 +75,11 @@ def build_param_groups(params, cfg) -> Tuple[Any, Any, Any]:
         # leaves its grad None so it neither updates nor decays.
         if "W_v" in path:
             trainable = False
+        # MODEL.FROZEN: backbone frozen except LoRA/adapter params
+        # (`meta_arch.py:66-78`, `LoRA.py:307`)
+        if cfg.MODEL.FROZEN and path.startswith("base") and \
+                "adapter" not in path and "lora" not in path:
+            trainable = False
         return lr, wd, trainable
 
     paths = _leaf_paths(params)

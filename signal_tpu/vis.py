@@ -1,0 +1,177 @@
+"""Visualization & analysis tools.
+
+TPU-native equivalents of the reference's research tooling
+(maxingan2412/Signal):
+
+* token-mask overlays (`zablation/token_visual.py`) — SIM's selection
+  masks are returned by ``sim_forward`` (the reference stashes
+  ``last_masks``, `useA.py:323`); here they render to heatmap grids;
+* input-saliency maps (`zablation/CAM.py`, `visualize/GradCAM.py`) — via
+  ``jax.grad`` of the matching score w.r.t. the input images (no forward
+  hooks needed in a functional model);
+* LAM offset-field visualization (`zablation/offestvisual.py`);
+* ranked-list grids, t-SNE scatter and cosine-similarity KDE
+  (`utils/metrics.py:303-490`) — written to CALLER-CHOSEN paths (the
+  reference hardcodes absolute paths, `metrics.py:289-297`).
+
+All plotting is lazy-imported and optional; array outputs work headless.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Token-mask overlays
+# --------------------------------------------------------------------------
+
+def masks_to_grids(masks: Dict[str, np.ndarray], h: int, w: int) -> Dict[str, np.ndarray]:
+    """{'RGB': [B, L], ...} → {'RGB': [B, h, w]} binary grids."""
+    return {k: np.asarray(v).reshape(-1, h, w) for k, v in masks.items()}
+
+
+def overlay_mask(image_chw: np.ndarray, mask_hw: np.ndarray, alpha: float = 0.5) -> np.ndarray:
+    """Upsample a patch mask onto the image; masked-out patches dimmed.
+    image [3, H, W] in [0,1]-ish; returns [H, W, 3] uint8."""
+    img = np.asarray(image_chw).transpose(1, 2, 0)
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+    H, W = img.shape[:2]
+    gh, gw = mask_hw.shape
+    up = np.kron(mask_hw, np.ones((H // gh, W // gw)))
+    up = up[:H, :W, None]
+    out = img * (alpha + (1 - alpha) * up)
+    return (255 * out).clip(0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Saliency (GradCAM-style, functional)
+# --------------------------------------------------------------------------
+
+def input_saliency(forward_fn, imgs: Dict, target_fn=None) -> Dict[str, np.ndarray]:
+    """Per-modality |d score / d pixel| maps.
+
+    ``forward_fn(imgs) -> feats [B, D]``; ``target_fn(feats) -> scalar``
+    (default: feature-norm sum, a class-agnostic saliency)."""
+    import jax
+    import jax.numpy as jnp
+
+    if target_fn is None:
+        target_fn = lambda f: jnp.sum(jnp.linalg.norm(f, axis=-1))  # noqa: E731
+
+    grads = jax.grad(lambda x: target_fn(forward_fn(x)))(imgs)
+    return {k: np.abs(np.asarray(v)).max(axis=1) for k, v in grads.items()}
+
+
+# --------------------------------------------------------------------------
+# LAM offset fields
+# --------------------------------------------------------------------------
+
+def das_offset_field(das_params, patches_grid: np.ndarray,
+                     stride: int = 4, offset_range_factor: float = 2.0) -> np.ndarray:
+    """[B, C, H, W] grid → sampled positions [B, Hk, Wk, 2] (x, y) in
+    normalized coords — the arrows of `zablation/offestvisual.py`."""
+    import jax
+    import jax.numpy as jnp
+
+    from signal_tpu.models.align import das_reference_points
+    from signal_tpu.models.align import _conv
+
+    x = jnp.asarray(patches_grid, jnp.float32)
+    q = _conv(x, das_params["proj_q"]["kernel"], das_params["proj_q"]["bias"])
+    h = jax.nn.gelu(_conv(q, das_params["off_conv1"]["kernel"],
+                          das_params["off_conv1"]["bias"]), approximate=False)
+    h = jax.nn.gelu(_conv(h, das_params["off_dw"]["kernel"],
+                          das_params["off_dw"]["bias"], stride=stride,
+                          groups=x.shape[1]), approximate=False)
+    off = _conv(h, das_params["off_out"]["kernel"])
+    hk, wk = off.shape[2], off.shape[3]
+    rng = jnp.array([1.0 / max(hk - 1.0, 1.0), 1.0 / max(wk - 1.0, 1.0)])
+    off = jnp.tanh(off) * rng[None, :, None, None] * offset_range_factor
+    pos = jnp.clip(off.transpose(0, 2, 3, 1) + das_reference_points(hk, wk)[None],
+                   -1.0, 1.0)
+    return np.asarray(pos[..., ::-1])  # (x, y)
+
+
+# --------------------------------------------------------------------------
+# Retrieval analysis artifacts (optional matplotlib)
+# --------------------------------------------------------------------------
+
+def save_ranked_list(distmat: np.ndarray, query_paths: Sequence[str],
+                     gallery_paths: Sequence[str], save_dir: str,
+                     topk: int = 10, num_queries: int = 10) -> List[List[str]]:
+    """Write per-query top-k gallery file lists (and return them)."""
+    os.makedirs(save_dir, exist_ok=True)
+    order = np.argsort(distmat, axis=1)
+    out = []
+    with open(os.path.join(save_dir, "ranked_lists.txt"), "w") as f:
+        for qi in range(min(num_queries, distmat.shape[0])):
+            row = [gallery_paths[g] for g in order[qi, :topk]]
+            out.append(row)
+            f.write(f"{query_paths[qi]}: " + " ".join(row) + "\n")
+    return out
+
+
+def save_tsne_plot(feats: np.ndarray, labels: Sequence[int], save_path: str,
+                   draw_labels: Optional[Sequence[int]] = None):
+    """t-SNE scatter of selected identities (`metrics.py:387-411`)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from sklearn import manifold
+    except ImportError:
+        return None
+    labels = np.asarray(labels)
+    if draw_labels is not None:
+        sel = np.isin(labels, draw_labels)
+        feats, labels = feats[sel], labels[sel]
+    emb = manifold.TSNE(n_components=2, init="pca",
+                        random_state=0).fit_transform(np.asarray(feats))
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for lab in np.unique(labels):
+        pts = emb[labels == lab]
+        ax.scatter(pts[:, 0], pts[:, 1], s=8, label=str(lab))
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
+
+
+def save_similarity_kde(qf: np.ndarray, q_pids: Sequence[int], save_path: str):
+    """Pos/neg cosine-similarity distribution + overlap area
+    (`metrics.py:414-490`). Returns the overlap estimate."""
+    q = np.asarray(qf)
+    q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+    sim = q @ q.T
+    pids = np.asarray(q_pids)
+    same = pids[:, None] == pids[None, :]
+    iu = np.triu_indices_from(sim, k=1)
+    pos = sim[iu][same[iu]]
+    neg = sim[iu][~same[iu]]
+    # histogram overlap (robust, no scipy needed)
+    bins = np.linspace(-1, 1, 101)
+    hp, _ = np.histogram(pos, bins=bins, density=True)
+    hn, _ = np.histogram(neg, bins=bins, density=True)
+    overlap = np.minimum(hp, hn).sum() * (bins[1] - bins[0])
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.hist(pos, bins=50, alpha=0.5, density=True, label="positive")
+        ax.hist(neg, bins=50, alpha=0.5, density=True, label="negative")
+        ax.legend()
+        ax.set_title(f"cosine similarity, overlap={overlap:.3f}")
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+    except ImportError:
+        pass
+    return overlap

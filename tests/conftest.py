@@ -1,18 +1,18 @@
-"""Test env: force CPU JAX with 8 virtual devices BEFORE jax import.
+"""Test env: force CPU JAX with 8 virtual devices.
 
-The container routes JAX to a remote TPU through the axon tunnel
-(PALLAS_AXON_POOL_IPS); tests must run hermetically on host CPU with a
-virtual 8-device mesh for multi-chip sharding coverage.
+The container's sitecustomize registers a remote-TPU (axon) backend at
+interpreter startup — BEFORE this conftest runs — so env vars alone are
+too late. jax.config still works because the backend is only registered,
+not initialized, until first use.
 """
 
 import os
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""       # disable the TPU tunnel
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""       # belt: no tunnel if re-exec'd
+os.environ.pop("JAX_PLATFORMS", None)
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,234 @@
+"""Data layer tests: scanners, PK sampler, transforms, loader, config."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from signal_tpu.config import Config, load_config
+from signal_tpu.data.datasets import build_dataset, synthetic_dataset
+from signal_tpu.data.loader import make_dataloader, read_modalities
+from signal_tpu.data.sampler import RandomIdentitySampler, shard_indices
+from signal_tpu.data.transforms import TrainTransform, ValTransform
+
+
+# --------------------------------------------------------------------------
+# Dataset scanners against tiny on-disk fixtures
+# --------------------------------------------------------------------------
+
+def _make_rgbnt201_fixture(root):
+    base = os.path.join(root, "RGBNT201")
+    for split in ("train_171", "test"):
+        for mod in ("RGB", "NI", "TI"):
+            os.makedirs(os.path.join(base, split, mod), exist_ok=True)
+    img = Image.fromarray(np.zeros((128, 64, 3), np.uint8))
+    # filename: <pid6>_cam<cam>_<idx>.jpg  (pid from [:6], cam from [3])
+    names = ["000001_cam1_00.jpg", "000001_cam2_01.jpg", "000002_cam1_00.jpg"]
+    for split in ("train_171", "test"):
+        for mod in ("RGB", "NI", "TI"):
+            for n in names:
+                img.save(os.path.join(base, split, mod, n))
+    return root
+
+
+def test_rgbnt201_scanner(tmp_path):
+    root = _make_rgbnt201_fixture(str(tmp_path))
+    ds = build_dataset("RGBNT201", root)
+    assert len(ds.train) == 3 and len(ds.query) == 3
+    paths, pid, camid, trackid = ds.train[0]
+    assert len(paths) == 3 and trackid == -1
+    assert ds.num_train_pids == 2          # relabeled 0..1
+    pids = sorted({r[1] for r in ds.train})
+    assert pids == [0, 1]
+    cams = sorted({r[2] for r in ds.train})
+    assert cams == [0, 1]                  # camid-1
+
+
+def test_rgbnt100_scanner_and_packed_crop(tmp_path):
+    base = os.path.join(str(tmp_path), "RGBNT100", "rgbir")
+    for split in ("bounding_box_train", "query", "bounding_box_test"):
+        os.makedirs(os.path.join(base, split), exist_ok=True)
+    # packed 768x128 jpg: RGB|NI|TI side by side
+    arr = np.zeros((128, 768, 3), np.uint8)
+    arr[:, :256] = 10
+    arr[:, 256:512] = 120
+    arr[:, 512:] = 240
+    img = Image.fromarray(arr)
+    for split in ("bounding_box_train", "query", "bounding_box_test"):
+        img.save(os.path.join(base, split, "0001_c3_00.jpg"))
+        img.save(os.path.join(base, split, "0002_c1_00.jpg"))
+    ds = build_dataset("RGBNT100", str(tmp_path))
+    assert ds.packed_modalities
+    path, pid, camid, _ = ds.train[0]
+    assert isinstance(path, str) and camid in (0, 2)
+    mods = read_modalities(path)
+    assert len(mods) == 3
+    means = [np.asarray(m).mean() for m in mods]
+    assert means[0] < 50 and 100 < means[1] < 140 and means[2] > 200
+
+
+def test_msvr310_scanner(tmp_path):
+    base = os.path.join(str(tmp_path), "MSVR310")
+    img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    # name: pppp_sSSS_vC_... pid=[0:4], sceneid=[6:9], camid=[11]
+    for split in ("bounding_box_train", "query3", "bounding_box_test"):
+        for vid in ("0001", "0002"):
+            for mod in ("vis", "ni", "th"):
+                os.makedirs(os.path.join(base, split, vid, mod), exist_ok=True)
+            name = f"{vid}_s012_v3_000.jpg"
+            for mod in ("vis", "ni", "th"):
+                img.save(os.path.join(base, split, vid, mod, name))
+    ds = build_dataset("MSVR310", str(tmp_path))
+    assert len(ds.train) == 2
+    _, pid, camid, sceneid = ds.train[0]
+    assert camid == 3 and sceneid == 12
+    assert ds.num_train_pids == 2
+
+
+# --------------------------------------------------------------------------
+# PK sampler
+# --------------------------------------------------------------------------
+
+def test_pk_sampler_structure():
+    ds = synthetic_dataset(num_pids=8, per_pid=10)
+    s = RandomIdentitySampler(ds.train, batch_size=16, num_instances=4, seed=0)
+    idxs = s.epoch_indices()
+    assert len(idxs) % 4 == 0
+    pids = [ds.train[i][1] for i in idxs]
+    # every K-group is one identity; every batch has batch//K identities
+    for start in range(0, len(idxs) - 16 + 1, 16):
+        batch_pids = pids[start:start + 16]
+        groups = [batch_pids[j:j + 4] for j in range(0, 16, 4)]
+        for g in groups:
+            assert len(set(g)) == 1
+        assert len({g[0] for g in groups}) == 4
+
+
+def test_pk_sampler_deterministic_and_shard():
+    ds = synthetic_dataset(num_pids=8, per_pid=10)
+    a = RandomIdentitySampler(ds.train, 16, 4, seed=5).epoch_indices()
+    b = RandomIdentitySampler(ds.train, 16, 4, seed=5).epoch_indices()
+    assert a == b
+    shards = [shard_indices(a, 4, r, 16) for r in range(4)]
+    # shards partition each global batch
+    recon = []
+    for start in range(0, len(a) - 16 + 1, 16):
+        for r in range(4):
+            recon.extend(shards[r][start // 16 * 4:(start // 16 + 1) * 4])
+    assert recon == a[: len(recon)]
+
+
+# --------------------------------------------------------------------------
+# Transforms
+# --------------------------------------------------------------------------
+
+def test_train_transform_shape_and_range():
+    tf = TrainTransform((256, 128), prob=0.5, re_prob=1.0, padding=10,
+                        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    img = Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (100, 50, 3), dtype=np.uint8).astype(np.uint8))
+    out = tf(img, np.random.default_rng(0))
+    assert out.shape == (3, 256, 128)
+    assert out.dtype == np.float32
+
+
+def test_val_transform_deterministic():
+    tf = ValTransform((256, 128), (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    img = Image.fromarray(np.full((100, 50, 3), 128, np.uint8))
+    out = tf(img)
+    assert out.shape == (3, 256, 128)
+    np.testing.assert_allclose(out.mean(), (128 / 255 - 0.5) / 0.5, atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Loader end-to-end on synthetic
+# --------------------------------------------------------------------------
+
+def test_make_dataloader_synthetic():
+    cfg = Config()
+    cfg.DATASETS.NAMES = "synthetic"
+    cfg.SOLVER.IMS_PER_BATCH = 16
+    cfg.DATALOADER.NUM_INSTANCE = 4
+    cfg.TEST.IMS_PER_BATCH = 6
+    cfg.INPUT.SIZE_TRAIN = (64, 32)
+    cfg.INPUT.SIZE_TEST = (64, 32)
+    (train_loader, train_normal, val_loader, num_query,
+     num_classes, cam_num, view_num) = make_dataloader(cfg)
+    assert num_query == 8 and num_classes == 8
+
+    batch = next(iter(train_loader))
+    assert batch["imgs"]["RGB"].shape == (16, 3, 64, 32)
+    assert batch["pids"].shape == (16,)
+
+    batches = list(val_loader)
+    total = sum(b["valid"] for b in batches)
+    assert total == 16                       # 8 query + 8 gallery
+    assert batches[-1]["imgs"]["RGB"].shape[0] == 6  # padded tail
+
+
+# --------------------------------------------------------------------------
+# Config system
+# --------------------------------------------------------------------------
+
+def test_native_decoder_matches_pil(tmp_path):
+    from signal_tpu.data import native_decoder
+    if not native_decoder.available():
+        import pytest as _pytest
+
+        _pytest.skip("native decoder not built (make -C native)")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 255, (128, 256, 3), dtype=np.uint8).astype(np.uint8)
+        p = str(tmp_path / f"{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+    out = native_decoder.decode_batch(paths, 256, 128,
+                                      (0.5, 0.5, 0.5), (0.5, 0.5, 0.5), 2)
+    assert out.shape == (3, 3, 256, 128)
+    img = Image.open(paths[0]).convert("RGB").resize((128, 256), Image.BILINEAR)
+    ref = ((np.asarray(img, np.float32) / 255. - 0.5) / 0.5).transpose(2, 0, 1)
+    # PIL quantizes to uint8 after resampling; we keep float — ≤1 LSB apart
+    assert np.abs(out[0] - ref).max() <= (1.0 / 255.0) / 0.5 + 1e-5
+
+
+def test_val_loader_uses_native_path(tmp_path):
+    from signal_tpu.data import native_decoder
+    if not native_decoder.available():
+        import pytest as _pytest
+
+        _pytest.skip("native decoder not built")
+    root = _make_rgbnt201_fixture(str(tmp_path))
+    cfg = Config()
+    cfg.DATASETS.NAMES = "RGBNT201"
+    cfg.DATASETS.ROOT_DIR = root
+    cfg.TEST.IMS_PER_BATCH = 4
+    cfg.INPUT.SIZE_TEST = (64, 32)
+    cfg.INPUT.SIZE_TRAIN = (64, 32)
+    cfg.DATALOADER.NUM_INSTANCE = 1
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    (_, _, val_loader, num_query, *_rest) = make_dataloader(cfg)
+    batches = list(val_loader)
+    total = sum(b["valid"] for b in batches)
+    assert total == 6  # 3 query + 3 gallery fixtures
+    assert batches[0]["imgs"]["RGB"].shape[1:] == (3, 64, 32)
+    assert "names" in batches[0]
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = load_config("configs/RGBNT201/Signal.yml")
+    assert cfg.MODEL.USE_A and cfg.MODEL.USE_B
+    assert cfg.MODEL.TOPK == 80
+    assert cfg.SOLVER.BASE_LR == 0.00035
+    assert cfg.INPUT.SIZE_TRAIN == (256, 128)
+    assert cfg.MODEL.stageName == "together_CLS_Patch"
+
+
+def test_config_opts_override():
+    cfg = load_config("configs/RGBNT201/Signal.yml",
+                      ["MODEL.USE_A", "False", "SOLVER.BASE_LR", "0.001",
+                       "MODEL.STRIDE_SIZE", "[8, 8]"])
+    assert cfg.MODEL.USE_A is False
+    assert cfg.SOLVER.BASE_LR == 0.001
+    assert cfg.MODEL.STRIDE_SIZE == (8, 8)

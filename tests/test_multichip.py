@@ -56,18 +56,19 @@ def test_dp_matches_single_device_loss():
     }
     lr_a, lr_b = schedule_coeffs(cfg, 1)
 
-    # single device
-    _, _, _, loss_ref, acc_ref = train_step(
-        jax.tree.map(jnp.copy, params), dict(bn_state), adam_init(params),
-        batch, jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
+    # single device (deep-copy state: the step donates its buffers)
+    _, _, _, loss_ref, acc_ref, _ = train_step(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, bn_state),
+        adam_init(params), batch, jnp.float32(lr_a), jnp.float32(lr_b),
+        group_trees)
 
     # 8-device DP mesh
     mesh = create_mesh(num_data=8, num_model=1)
     with mesh:
         p8 = shard_params(jax.tree.map(jnp.copy, params), mesh)
         b8 = shard_batch(batch, mesh)
-        _, _, _, loss_dp, acc_dp = train_step(
-            p8, dict(bn_state), adam_init(p8), b8,
+        _, _, _, loss_dp, acc_dp, _ = train_step(
+            p8, jax.tree.map(jnp.copy, bn_state), adam_init(p8), b8,
             jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
 
     np.testing.assert_allclose(float(loss_ref), float(loss_dp), rtol=1e-4)

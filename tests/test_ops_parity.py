@@ -125,11 +125,15 @@ def test_euclidean_distmat_matches_reference_formula():
     from signal_tpu.ops.distmat import euclidean_distmat
 
     rng = np.random.default_rng(4)
+    # distinct x/y: the self-distance diagonal is sqrt(clamp(≈0)) where
+    # fp32 rounding makes torch/XLA legitimately disagree
     x = rng.standard_normal((6, 12)).astype(np.float32)
-    tx = torch.tensor(x)
-    xx = tx.pow(2).sum(1, keepdim=True).expand(6, 6)
-    dist = (xx + xx.t() - 2 * tx @ tx.t()).clamp(min=1e-12).sqrt().numpy()
-    ours = np.asarray(euclidean_distmat(jnp.asarray(x), jnp.asarray(x)))
+    y = rng.standard_normal((5, 12)).astype(np.float32)
+    tx, ty = torch.tensor(x), torch.tensor(y)
+    xx = tx.pow(2).sum(1, keepdim=True).expand(6, 5)
+    yy = ty.pow(2).sum(1, keepdim=True).expand(5, 6).t()
+    dist = (xx + yy - 2 * tx @ ty.t()).clamp(min=1e-12).sqrt().numpy()
+    ours = np.asarray(euclidean_distmat(jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(ours, dist, rtol=1e-4, atol=1e-5)
 
 

@@ -1,0 +1,202 @@
+"""Tests: tokenizer, text tower, CLIP-ReID variant, ImageNet ViT, LoRA."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from signal_tpu.config import Config
+
+
+def test_tokenizer_roundtrip_fallback_vocab():
+    from signal_tpu.models.tokenizer import ClipTokenizer
+
+    tok = ClipTokenizer()  # byte-fallback vocab (no merge table)
+    ids = tok.tokenize("A photo of a X X X X person.")
+    assert ids.shape == (1, 77)
+    assert ids[0, 0] == tok.sot_token
+    eot_pos = int(np.argmax(ids[0]))
+    assert ids[0, eot_pos] == tok.eot_token
+    text = tok.decode([int(t) for t in ids[0, 1:eot_pos]])
+    assert "photo" in text
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/modeling/clip/bpe_simple_vocab_16e6.txt.gz"),
+    reason="no BPE merge table available")
+def test_tokenizer_matches_reference_bpe():
+    """With a real merge table, ids must match the reference tokenizer."""
+    import sys
+
+    from signal_tpu.models.tokenizer import ClipTokenizer
+
+    bpe = "/root/reference/modeling/clip/bpe_simple_vocab_16e6.txt.gz"
+    tok = ClipTokenizer(bpe)
+    # load the reference tokenizer module directly (its package __init__
+    # pulls in timm, which isn't installed)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_simple_tokenizer",
+        "/root/reference/modeling/clip/simple_tokenizer.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except ModuleNotFoundError as e:  # e.g. ftfy not installed
+        pytest.skip(f"reference tokenizer unavailable: {e}")
+    ref = mod.SimpleTokenizer(bpe)
+    for text in ("A photo of a X X X X person.",
+                 "a bad photo of the vehicle!",
+                 "hello, world 123"):
+        assert tok.encode(text) == ref.encode(text), text
+
+
+def test_text_encoder_shapes_and_causality():
+    from signal_tpu.models.text_encoder import (
+        causal_mask, init_text_params, text_forward)
+
+    params = init_text_params(jax.random.PRNGKey(0), width=32, layers=2,
+                              vocab_size=100, context_length=10, embed_dim=16)
+    rng = np.random.default_rng(0)
+    prompts = jnp.asarray(rng.standard_normal((3, 10, 32)), jnp.float32)
+    tokenized = jnp.asarray([[1, 5, 9, 0, 0, 0, 0, 0, 0, 0]] * 3)
+    out = text_forward(params, prompts, tokenized, num_heads=4,
+                       compute_dtype=jnp.float32)
+    assert out.shape == (3, 16)
+
+    # causality: perturbing a position AFTER the EOT argmax (index 2) of a
+    # causal transformer must not change the pooled output
+    prompts2 = prompts.at[:, 5].add(10.0)
+    out2 = text_forward(params, prompts2, tokenized, num_heads=4,
+                        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+    m = causal_mask(4)
+    assert np.isneginf(np.asarray(m)[0, 1]) and np.asarray(m)[1, 0] == 0
+
+
+def test_clipreid_variant_forward():
+    from signal_tpu.models.clipreid import (
+        ClipReIDSpec, clipreid_forward_eval, clipreid_forward_train,
+        clipreid_image_features, clipreid_text_features, init_clipreid_params)
+
+    cfg = Config()
+    cfg.INPUT.SIZE_TRAIN = (64, 32)
+    spec = ClipReIDSpec.from_config(cfg, num_classes=5, camera_num=2)
+    spec = dataclasses.replace(spec, width=32, proj_dim=16, layers=2,
+                               num_heads=4, compute_dtype="float32",
+                               use_flash=False)
+    params, bn = init_clipreid_params(jax.random.PRNGKey(0), spec)
+    # shrink the text tower for the test
+    from signal_tpu.models.text_encoder import init_prompt_learner, init_text_params
+    from signal_tpu.models.tokenizer import ClipTokenizer
+
+    params["text"] = init_text_params(jax.random.PRNGKey(1), width=32, layers=2,
+                                      vocab_size=50000, embed_dim=16)
+    params["prompt_learner"] = init_prompt_learner(
+        jax.random.PRNGKey(2), 5, "RGBNT201",
+        params["text"]["token_embedding"], ClipTokenizer())
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((4, 3, 64, 32)), jnp.float32)
+    cams = jnp.asarray([0, 1, 0, 1])
+
+    scores, feats, fproj, new_bn = clipreid_forward_train(params, bn, spec, imgs, cams)
+    assert scores[0].shape == (4, 5) and scores[1].shape == (4, 5)
+    assert feats[0].shape == (4, 32) and feats[2].shape == (4, 16)
+
+    ev = clipreid_forward_eval(params, bn, spec, imgs, cams)
+    assert ev.shape == (4, 48)  # width + proj_dim
+
+    txt = clipreid_text_features(params, spec, jnp.asarray([0, 1, 2]))
+    assert txt.shape == (3, 16)
+    img_f = clipreid_image_features(params, spec, imgs, cams)
+    assert img_f.shape == (4, 16)
+
+
+def test_imagenet_vit_forward_and_sie_all_tokens():
+    from signal_tpu.models.vit_imagenet import (
+        imagenet_vit_forward, init_imagenet_vit_params)
+
+    params = init_imagenet_vit_params(
+        jax.random.PRNGKey(0), img_size=(64, 32), width=32, layers=2,
+        camera_num=3)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+    cams = jnp.asarray([0, 2])
+    patches, cls = imagenet_vit_forward(params, imgs, cams, num_heads=4,
+                                        sie_xishu=1.5,
+                                        compute_dtype=jnp.float32)
+    assert patches.shape == (2, 8, 32) and cls.shape == (2, 32)
+    # SIE affects the output (different cams → different feats on same img)
+    p2, c2 = imagenet_vit_forward(params, imgs, jnp.asarray([1, 1]),
+                                  num_heads=4, sie_xishu=1.5,
+                                  compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(cls), np.asarray(c2))
+
+
+def test_signal_model_with_imagenet_backbone():
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, forward_train, init_signal_params)
+
+    cfg = Config()
+    cfg.MODEL.TRANSFORMER_TYPE = "vit_base_patch16_224"
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = False
+    cfg.MODEL.TOPK = 3
+    spec = ModelSpec.from_config(cfg, num_classes=5, camera_num=2)
+    assert spec.backbone == "imagenet" and spec.feat_dim == 768
+    spec = dataclasses.replace(spec, layers=2, width=48, feat_dim=48,
+                               num_heads=4, h=4, w=2, use_flash=False,
+                               compute_dtype="float32")
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    imgs = {m: jnp.asarray(rng.standard_normal((4, 3, 64, 32)), jnp.float32)
+            for m in ("RGB", "NI", "TI")}
+    cams = jnp.asarray([0, 1, 0, 1])
+    out, _ = forward_train(params, bn, imgs, cams, spec)
+    assert out["scores"][0].shape == (4, 5)
+    feat = forward_eval(params, bn, imgs, cams, spec)
+    assert feat.shape == (4, 6 * 48)
+
+
+def test_lora_apply_starts_as_identity_then_changes():
+    from signal_tpu.models.lora import apply_lora, init_lora_factors
+    from signal_tpu.models.vit import init_vit_params
+
+    params = init_vit_params(jax.random.PRNGKey(0), h_resolution=4,
+                             w_resolution=2, width=32, layers=2, output_dim=16)
+    lora = init_lora_factors(jax.random.PRNGKey(1), params, rank=2)
+    merged = apply_lora(params, lora)
+    # B=0 ⇒ identity at init
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks"]["attn"]["qkv_kernel"]),
+        np.asarray(params["blocks"]["attn"]["qkv_kernel"]))
+    # after perturbing B, weights change
+    lora["blocks"]["attn"]["qkv_kernel"]["lora_B"] = jnp.ones_like(
+        lora["blocks"]["attn"]["qkv_kernel"]["lora_B"])
+    merged2 = apply_lora(params, lora)
+    assert not np.allclose(
+        np.asarray(merged2["blocks"]["attn"]["qkv_kernel"]),
+        np.asarray(params["blocks"]["attn"]["qkv_kernel"]))
+
+
+def test_supcon_and_i2t_losses():
+    from signal_tpu.losses import i2t_cross_entropy, supcon_loss
+
+    rng = np.random.default_rng(0)
+    # identical features for same labels → low loss vs random
+    feats = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    t_lab = jnp.asarray([0, 1, 0, 1])
+    good = supcon_loss(feats, feats, t_lab, t_lab, temperature=0.1)
+    bad = supcon_loss(feats, jnp.asarray(rng.standard_normal((4, 8)), jnp.float32),
+                      t_lab, t_lab, temperature=0.1)
+    assert float(good) < float(bad)
+
+    class_txt = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    img = class_txt[jnp.asarray([0, 3])]
+    loss = i2t_cross_entropy(img, class_txt, jnp.asarray([0, 3]))
+    assert float(loss) < 0.1

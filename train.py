@@ -23,6 +23,8 @@ def main():
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
                         help="Modify config options from the command line")
     parser.add_argument("--local_rank", default=0, type=int)
+    parser.add_argument("--resume", default="", type=str,
+                        help="orbax checkpoint dir to resume from")
     args = parser.parse_args()
 
     from signal_tpu.config import load_config
@@ -60,7 +62,8 @@ def main():
         mesh = create_mesh(num_model=cfg.PARALLEL.MODEL_AXIS)
         logger.info("mesh: %s", mesh)
 
-    do_train(cfg, spec, train_loader, val_loader, num_query, num_classes, mesh=mesh)
+    do_train(cfg, spec, train_loader, val_loader, num_query, num_classes,
+             mesh=mesh, resume_from=args.resume or None)
 
 
 if __name__ == "__main__":
