@@ -56,6 +56,7 @@ class ModelSpec:
     use_flash: bool = False
     drop_path: float = 0.0       # imagenet tower stochastic depth
     adapter: bool = False        # MODEL.ADAPTER (MambaPro parallel adapter)
+    prompt: bool = False         # MODEL.PROMPT (MambaPro prompt tokens)
     remat: bool = True           # per-block rematerialization (backward)
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
 
@@ -65,8 +66,13 @@ class ModelSpec:
         w = cfg.INPUT.SIZE_TRAIN[1] // cfg.MODEL.STRIDE_SIZE[1]
         keep_ratio = cfg.MODEL.KEEP_RATIO if cfg.MODEL.FIXED_KEEP_RATIO else None
         ttype = cfg.MODEL.TRANSFORMER_TYPE
+        layers, width, heads = 12, 768, 12
         if "ViT-B-16" in ttype:
             backbone, feat_dim = "clip", 512          # `make_model.py:49-52`
+        elif ttype.startswith("t2t"):
+            backbone, feat_dim = "t2t", 384
+            width, heads = 384, 6
+            layers = 24 if "24" in ttype else 14
         else:
             backbone, feat_dim = "imagenet", 768
         return cls(
@@ -74,6 +80,9 @@ class ModelSpec:
             camera_num=camera_num,
             backbone=backbone,
             feat_dim=feat_dim,
+            width=width,
+            layers=layers,
+            num_heads=heads,
             stride_size=int(cfg.MODEL.STRIDE_SIZE[0]),
             h=h,
             w=w,
@@ -89,6 +98,7 @@ class ModelSpec:
             use_flash=bool(cfg.MODEL.USE_PALLAS_ATTENTION),
             drop_path=float(cfg.MODEL.DROP_PATH),
             adapter=bool(cfg.MODEL.ADAPTER),
+            prompt=bool(cfg.MODEL.PROMPT),
             remat=bool(getattr(cfg.MODEL, "REMAT", True)),
             miss=str(cfg.TEST.MISS),
         )
@@ -119,8 +129,22 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
             output_dim=spec.feat_dim,
             adapter=spec.adapter,
         )
+        if spec.prompt:
+            from signal_tpu.models.vit_prompt import init_prompt_params
+
+            params["prompt"] = init_prompt_params(ks[9], spec.width, spec.layers)
         if spec.sie_camera:
             params["cv_embed"] = trunc_normal(ks[1], (spec.camera_num, spec.width), 0.02)
+    elif spec.backbone == "t2t":
+        from signal_tpu.models.t2t import init_t2t_params
+
+        params["base"] = init_t2t_params(
+            ks[0],
+            img_size=(spec.h * spec.stride_size, spec.w * spec.stride_size),
+            embed_dim=spec.width,
+            depth=spec.layers,
+            camera_num=spec.camera_num if spec.sie_camera else 0,
+        )
     else:
         from signal_tpu.models.vit_imagenet import init_imagenet_vit_params
 
@@ -166,13 +190,36 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
         cv = None
         if spec.sie_camera and cam_label is not None:
             cv = spec.sie_coe * params["cv_embed"][cam_label]     # [B, width]
-            cv = jnp.tile(cv, (3, 1))
+        if spec.prompt:
+            # prompted blocks differ per modality → three separate streams
+            # (matches the reference's per-modality encoder calls)
+            from signal_tpu.models.vit_prompt import vit_forward_prompt
+
+            outs = [vit_forward_prompt(
+                params["base"], params["prompt"], imgs[:, m], cv, name,
+                num_heads=spec.num_heads, compute_dtype=spec.cdtype,
+                use_flash=spec.use_flash)
+                for m, name in enumerate(("rgb", "nir", "tir"))]
+            patches = jnp.stack([o[0] for o in outs], axis=1)
+            cls = jnp.stack([o[1] for o in outs], axis=1)
+            return patches, cls
+        cv3 = jnp.tile(cv, (3, 1)) if cv is not None else None
         patches, cls = vit_mod.vit_forward(
-            params["base"], x, cv,
+            params["base"], x, cv3,
             num_heads=spec.num_heads,
             compute_dtype=spec.cdtype,
             use_flash=spec.use_flash,
             remat=spec.remat,
+        )
+    elif spec.backbone == "t2t":
+        from signal_tpu.models.t2t import t2t_forward
+
+        cams = jnp.tile(cam_label, (3,)) if cam_label is not None else None
+        patches, cls = t2t_forward(
+            params["base"], x, cams,
+            sie_xishu=spec.sie_coe,
+            num_heads=spec.num_heads,
+            compute_dtype=spec.cdtype,
         )
     else:
         from signal_tpu.models.vit_imagenet import imagenet_vit_forward

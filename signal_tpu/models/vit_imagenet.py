@@ -37,12 +37,14 @@ def init_imagenet_vit_params(
     width: int = 768,
     layers: int = 12,
     camera_num: int = 0,
+    mlp_ratio: float = 4.0,
     dtype=jnp.float32,
 ):
     keys = jax.random.split(key, 8)
     num_y = (img_size[0] - patch_size) // stride_size + 1
     num_x = (img_size[1] - patch_size) // stride_size + 1
     n_tokens = num_y * num_x + 1
+    hidden = int(width * mlp_ratio)
 
     def lin(k, din, dout):
         k1, _ = jax.random.split(k)
@@ -63,9 +65,9 @@ def init_imagenet_vit_params(
             },
             "ln_2": init_layer_norm(width, dtype),
             "mlp": {
-                "fc_kernel": trunc_normal(k3, (width, 4 * width), 0.02, dtype),
-                "fc_bias": jnp.zeros((4 * width,), dtype),
-                "proj_kernel": trunc_normal(jax.random.fold_in(k3, 1), (4 * width, width), 0.02, dtype),
+                "fc_kernel": trunc_normal(k3, (width, hidden), 0.02, dtype),
+                "fc_bias": jnp.zeros((hidden,), dtype),
+                "proj_kernel": trunc_normal(jax.random.fold_in(k3, 1), (hidden, width), 0.02, dtype),
                 "proj_bias": jnp.zeros((width,), dtype),
             },
         })

@@ -163,6 +163,72 @@ def test_signal_model_with_imagenet_backbone():
     assert feat.shape == (4, 6 * 48)
 
 
+def test_t2t_unfold_matches_torch():
+    import torch
+
+    from signal_tpu.models.t2t import _unfold
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 16, 8)).astype(np.float32)
+    ref = torch.nn.functional.unfold(torch.tensor(x), kernel_size=7,
+                                     stride=4, padding=2).transpose(1, 2)
+    ours = _unfold(jnp.asarray(x), 7, 4, 2)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-6)
+
+
+def test_t2t_backbone_in_signal_model():
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, init_signal_params)
+
+    cfg = Config()
+    cfg.MODEL.TRANSFORMER_TYPE = "t2t_vit_t_14"
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    spec = ModelSpec.from_config(cfg, num_classes=4, camera_num=2)
+    assert spec.backbone == "t2t" and spec.feat_dim == 384 and spec.layers == 14
+    spec = dataclasses.replace(spec, layers=2, width=48, feat_dim=48,
+                               num_heads=4, h=4, w=2, use_flash=False,
+                               compute_dtype="float32")
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    imgs = {m: jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+            for m in ("RGB", "NI", "TI")}
+    cams = jnp.zeros((2,), jnp.int32)
+    out = forward_eval(params, bn, imgs, cams, spec)
+    assert out.shape == (2, 3 * 48) and np.isfinite(np.asarray(out)).all()
+
+
+def test_prompt_branch_forward():
+    """MODEL.PROMPT: prompted forward runs; zero-init prompts with zero-init
+    transfer MLPs still shift softmax mass (extra K/V tokens), so outputs
+    differ from the unprompted tower."""
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, init_signal_params)
+
+    cfg = Config()
+    cfg.MODEL.PROMPT = True
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    spec = ModelSpec.from_config(cfg, num_classes=4, camera_num=2)
+    assert spec.prompt
+    spec = dataclasses.replace(spec, layers=2, width=32, feat_dim=16,
+                               num_heads=4, h=4, w=2, use_flash=False,
+                               compute_dtype="float32")
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    assert "prompt" in params
+    rng = np.random.default_rng(0)
+    imgs = {m: jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+            for m in ("RGB", "NI", "TI")}
+    cams = jnp.zeros((2,), jnp.int32)
+    out = forward_eval(params, bn, imgs, cams, spec)
+    assert out.shape == (2, 48) and np.isfinite(np.asarray(out)).all()
+
+    spec_plain = dataclasses.replace(spec, prompt=False)
+    params2 = {k: v for k, v in params.items() if k != "prompt"}
+    out2 = forward_eval(params2, bn, imgs, cams, spec_plain)
+    assert not np.allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
 def test_lora_apply_starts_as_identity_then_changes():
     from signal_tpu.models.lora import apply_lora, init_lora_factors
     from signal_tpu.models.vit import init_vit_params
