@@ -23,6 +23,8 @@ REFERENCE_EVAL_IMGS_PER_S = 4787 * 1.0 / 67.0  # ≈ 71.4 (3-modal samples/s)
 
 
 def main():
+    import sys
+
     from signal_tpu.config import Config
     from signal_tpu.models.signal_model import (
         ModelSpec, forward_eval, init_signal_params)
@@ -32,6 +34,8 @@ def main():
     cfg.MODEL.USE_B = True
     cfg.MODEL.TOPK = 80
     cfg.MODEL.SIE_COE = 1.0
+    if len(sys.argv) > 1:  # optional KEY VALUE overrides for A/B runs
+        cfg.merge_from_list(sys.argv[1:])
 
     spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
     params, bn_state = init_signal_params(jax.random.PRNGKey(0), spec)

@@ -194,6 +194,7 @@ def do_train(
         acc_meter.reset()
         lr_a, lr_b = schedule_coeffs(cfg, epoch)
         n_iter = 0
+        pending = []
         needs_rng = spec.backbone == "imagenet" and spec.drop_path > 0
         for n_iter, batch in enumerate(train_loader):
             db = _device_batch(batch, mesh)
@@ -204,9 +205,14 @@ def do_train(
                 state.params, state.bn_state, state.opt_state, db,
                 jnp.float32(lr_a), jnp.float32(lr_b), group_trees, step_rng,
                 state.centers)
-            loss_meter.update(float(loss), batch["imgs"]["RGB"].shape[0])
-            acc_meter.update(float(acc), 1)
+            # keep loss/acc on device; fetching every step would serialize
+            # host↔TPU (the reference's .item() per step, `processor.py:280`)
+            pending.append((loss, acc, batch["imgs"]["RGB"].shape[0]))
             if (n_iter + 1) % log_period == 0:
+                for pl, pa, n in pending:
+                    loss_meter.update(float(pl), n)
+                    acc_meter.update(float(pa), 1)
+                pending.clear()
                 logger.info(
                     "Epoch[%d] Iteration[%d/%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
                     epoch, n_iter + 1, len(train_loader),
@@ -214,6 +220,10 @@ def do_train(
             if max_steps_per_epoch and n_iter + 1 >= max_steps_per_epoch:
                 break
 
+        for pl, pa, n in pending:
+            loss_meter.update(float(pl), n)
+            acc_meter.update(float(pa), 1)
+        pending.clear()
         time_per_batch = (time.time() - t0) / (n_iter + 1)
         logger.info("Epoch %d done. Time per batch: %.3f[s] Speed: %.1f[samples/s]",
                     epoch, time_per_batch,

@@ -55,6 +55,8 @@ class ModelSpec:
     compute_dtype: str = "bfloat16"
     use_flash: bool = False
     drop_path: float = 0.0       # imagenet tower stochastic depth
+    mlp_ratio: float = 4.0       # imagenet tower MLP hidden ratio
+    qk_scale: Optional[float] = None  # imagenet tower qk-scale override
     adapter: bool = False        # MODEL.ADAPTER (MambaPro parallel adapter)
     prompt: bool = False         # MODEL.PROMPT (MambaPro prompt tokens)
     remat: bool = True           # per-block rematerialization (backward)
@@ -67,13 +69,24 @@ class ModelSpec:
         keep_ratio = cfg.MODEL.KEEP_RATIO if cfg.MODEL.FIXED_KEEP_RATIO else None
         ttype = cfg.MODEL.TRANSFORMER_TYPE
         layers, width, heads = 12, 768, 12
+        mlp_ratio, qk_scale = 4.0, None
         if "ViT-B-16" in ttype:
             backbone, feat_dim = "clip", 512          # `make_model.py:49-52`
         elif ttype.startswith("t2t"):
             backbone, feat_dim = "t2t", 384
             width, heads = 384, 6
             layers = 24 if "24" in ttype else 14
+        elif ttype == "vit_small_patch16_224":
+            # `vit_pytorch.py:498-508`: 768 wide but 8L/8H, mlp×3,
+            # qk_scale=768^-0.5
+            backbone, feat_dim = "imagenet", 768
+            layers, heads, mlp_ratio, qk_scale = 8, 8, 3.0, 768 ** -0.5
+        elif ttype == "deit_small_patch16_224":
+            # `vit_pytorch.py:511-521`: 384×12L/6H
+            backbone, feat_dim = "imagenet", 384
+            width, heads = 384, 6
         else:
+            # vit_base / deit_base (`vit_pytorch.py:487-495`)
             backbone, feat_dim = "imagenet", 768
         return cls(
             num_classes=num_classes,
@@ -91,6 +104,8 @@ class ModelSpec:
             use_b=bool(cfg.MODEL.USE_B),
             topk=int(cfg.MODEL.TOPK),
             keep_ratio=keep_ratio,
+            mlp_ratio=mlp_ratio,
+            qk_scale=qk_scale,
             sie_camera=bool(cfg.MODEL.SIE_CAMERA),
             sie_coe=float(cfg.MODEL.SIE_COE),
             stage=cfg.MODEL.stageName.strip(),
@@ -156,6 +171,7 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
             width=spec.width,
             layers=spec.layers,
             camera_num=spec.camera_num if spec.sie_camera else 0,
+            mlp_ratio=spec.mlp_ratio,
         )
 
     def classifier(k, din):
@@ -234,6 +250,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             rng=rng,
             compute_dtype=spec.cdtype,
             use_flash=spec.use_flash,
+            qk_scale=spec.qk_scale,
         )
     L, D = patches.shape[1], patches.shape[2]
     patches = patches.reshape(B, 3, L, D)

@@ -96,13 +96,14 @@ def init_vit_params(
 
 
 def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool):
+    dt = x.dtype  # residual stream dtype (bf16 ≙ the reference's fp16 autocast)
     x = x + mha(
         params["attn"],
         layer_norm(params["ln_1"], x),
         num_heads=num_heads,
         compute_dtype=compute_dtype,
         use_flash=use_flash,
-    )
+    ).astype(dt)
     h = layer_norm(params["ln_2"], x)
     h = quick_gelu(linear(params["mlp"]["fc_kernel"], params["mlp"]["fc_bias"], h, compute_dtype))
     h = linear(params["mlp"]["proj_kernel"], params["mlp"]["proj_bias"], h, compute_dtype)
@@ -114,7 +115,7 @@ def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool):
         a = linear(params["adapter"]["up_kernel"], params["adapter"]["up_bias"],
                    a, compute_dtype)
         h = h + a
-    return x + h
+    return x + h.astype(dt)
 
 
 def init_adapter_params(key, width: int, dtype=jnp.float32):
@@ -172,6 +173,9 @@ def vit_forward(
     x = jnp.concatenate([cls_tok, x], axis=1)
     x = x + params["positional_embedding"].astype(jnp.float32)[None]
     x = layer_norm(params["ln_pre"], x)
+    # the residual stream rides in the compute dtype between blocks (the
+    # reference's autocast keeps it fp16); LN still normalizes in fp32
+    x = x.astype(compute_dtype)
 
     block_fn = lambda lp, h: _block(lp, h, num_heads=num_heads,  # noqa: E731
                                     compute_dtype=compute_dtype,

@@ -8,7 +8,10 @@ l.286-324), SIE embedding added to ALL tokens scaled by sie_xishu
 l.48-77), final LayerNorm, no output projection (feat dim = width).
 
 Selected by MODEL.TRANSFORMER_TYPE='vit_base_patch16_224'
-(`meta_arch.py:54-64`).
+(`meta_arch.py:54-64`). Variant dims come from the factory fns
+(`vit_pytorch.py:487-521`): base/deit_base 768×12L×12H mlp4;
+vit_small 768×8L×8H mlp3 with qk_scale=768^-0.5 (its qkv_bias=False is
+approximated by a zero-init bias); deit_small 384×12L×6H mlp4.
 """
 
 from __future__ import annotations
@@ -103,6 +106,7 @@ def imagenet_vit_forward(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
+    qk_scale: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """images [B, 3, H, W] → (patch_tokens [B, L, width], cls [B, width])."""
     B = images.shape[0]
@@ -131,7 +135,8 @@ def imagenet_vit_forward(
 
     def block(i, x, layer_params, key_i):
         h = mha(layer_params["attn"], layer_norm(layer_params["ln_1"], x, eps=1e-6),
-                num_heads=num_heads, compute_dtype=compute_dtype, use_flash=use_flash)
+                num_heads=num_heads, compute_dtype=compute_dtype,
+                use_flash=use_flash, scale=qk_scale)
         x = x + _drop_path(h, dp_rates[i], key_i if rng is not None else None, salt=0)
         h = layer_norm(layer_params["ln_2"], x, eps=1e-6)
         h = jax.nn.gelu(linear(layer_params["mlp"]["fc_kernel"],

@@ -60,9 +60,10 @@ def linear(kernel: jnp.ndarray, bias, x: jnp.ndarray, compute_dtype=jnp.bfloat16
 
 
 def _attention_core(q, k, v, num_heads: int, compute_dtype=jnp.bfloat16,
-                    mask=None):
+                    mask=None, scale=None):
     """Softmax attention. q: [B, Lq, D], k/v: [B, Lk, D] (post-projection).
-    ``mask``: additive [Lq, Lk] bias (e.g. causal −inf upper triangle)."""
+    ``mask``: additive [Lq, Lk] bias (e.g. causal −inf upper triangle).
+    ``scale``: qk scale override (default 1/√head_dim)."""
     B, Lq, D = q.shape
     Lk = k.shape[1]
     hd = D // num_heads
@@ -70,7 +71,8 @@ def _attention_core(q, k, v, num_heads: int, compute_dtype=jnp.bfloat16,
     k = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
 
-    scale = 1.0 / math.sqrt(hd)
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk",
         (q * scale).astype(compute_dtype),
@@ -100,6 +102,7 @@ def mha(
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
     mask=None,
+    scale=None,
 ) -> jnp.ndarray:
     """Multi-head (self or cross) attention with torch packed-QKV layout.
 
@@ -115,12 +118,13 @@ def mha(
     q = linear(wq, bq, q_in, compute_dtype)
     k = linear(wk, bk, kv_in, compute_dtype)
     v = linear(wv, bv, kv_in, compute_dtype)
-    if use_flash and mask is None:
+    if use_flash and mask is None and scale is None:
         from signal_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, num_heads=num_heads)
     else:
-        out = _attention_core(q, k, v, num_heads, compute_dtype, mask=mask)
+        out = _attention_core(q, k, v, num_heads, compute_dtype, mask=mask,
+                              scale=scale)
     return linear(params["out_kernel"], params["out_bias"], out, compute_dtype)
 
 

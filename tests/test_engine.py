@@ -1,0 +1,98 @@
+"""Engine integration tests on a tiny spec (fast CPU)."""
+
+import dataclasses
+import logging
+
+import numpy as np
+import jax
+
+from signal_tpu.config import Config
+from signal_tpu.data import make_dataloader
+from signal_tpu.engine.eval import do_inference
+from signal_tpu.engine.train import do_train
+from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+
+logging.basicConfig(level=logging.INFO)
+
+
+def _tiny_cfg(tmp_path, **model_over):
+    cfg = Config()
+    cfg.DATASETS.NAMES = "synthetic"
+    cfg.INPUT.SIZE_TRAIN = (64, 64)
+    cfg.INPUT.SIZE_TEST = (64, 64)
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.DATALOADER.NUM_INSTANCE = 2
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.TEST.IMS_PER_BATCH = 8
+    cfg.SOLVER.MAX_EPOCHS = 1
+    cfg.SOLVER.EVAL_PERIOD = 1
+    cfg.SOLVER.LOG_PERIOD = 1
+    cfg.SOLVER.CHECKPOINT_PERIOD = 1
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = True
+    cfg.MODEL.TOPK = 3
+    cfg.MODEL.stageName = "together_CLS_Patch"
+    cfg.OUTPUT_DIR = str(tmp_path)
+    for k, v in model_over.items():
+        setattr(cfg.MODEL, k, v)
+    return cfg
+
+
+def _tiny_spec(cfg, num_classes, cam_num):
+    spec = ModelSpec.from_config(cfg, num_classes, cam_num)
+    return dataclasses.replace(spec, layers=2, width=32, feat_dim=16,
+                               num_heads=4, h=4, w=4, use_flash=False,
+                               compute_dtype="float32")
+
+
+def test_do_train_epoch_and_checkpoint(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    (train_loader, _, val_loader, num_query, num_classes, cam_num,
+     _) = make_dataloader(cfg)
+    spec = _tiny_spec(cfg, num_classes, cam_num)
+    state = do_train(cfg, spec, train_loader, val_loader, num_query,
+                     num_classes, max_steps_per_epoch=3)
+    assert state.params is not None
+    import os
+
+    ckpt_dir = os.path.join(str(tmp_path), cfg.ckpt_save_path)
+    entries = os.listdir(ckpt_dir)
+    assert any("Signal" in e for e in entries)  # periodic + best ckpts
+
+
+def test_do_train_resume(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SOLVER.EVAL_PERIOD = 5  # skip eval for speed
+    (train_loader, _, val_loader, num_query, num_classes, cam_num,
+     _) = make_dataloader(cfg)
+    spec = _tiny_spec(cfg, num_classes, cam_num)
+    do_train(cfg, spec, train_loader, None, num_query, num_classes,
+             max_steps_per_epoch=2)
+    import os
+
+    ckpt = os.path.join(str(tmp_path), cfg.ckpt_save_path, "Signal_1")
+    assert os.path.isdir(ckpt)
+    cfg.SOLVER.MAX_EPOCHS = 2
+    state = do_train(cfg, spec, train_loader, None, num_query, num_classes,
+                     max_steps_per_epoch=2, resume_from=ckpt)
+    assert state.params is not None
+
+
+def test_do_inference_runs(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    (_, _, val_loader, num_query, num_classes, cam_num, _) = make_dataloader(cfg)
+    spec = _tiny_spec(cfg, num_classes, cam_num)
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    cmc, mAP = do_inference(cfg, spec, params, bn, val_loader, num_query)
+    assert 0.0 <= mAP <= 1.0 and len(cmc) == 50
+
+
+def test_do_inference_with_reranking(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.TEST.RE_RANKING = "yes"
+    (_, _, val_loader, num_query, num_classes, cam_num, _) = make_dataloader(cfg)
+    spec = _tiny_spec(cfg, num_classes, cam_num)
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    cmc, mAP = do_inference(cfg, spec, params, bn, val_loader, num_query)
+    assert 0.0 <= mAP <= 1.0

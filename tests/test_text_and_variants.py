@@ -266,3 +266,36 @@ def test_supcon_and_i2t_losses():
     img = class_txt[jnp.asarray([0, 3])]
     loss = i2t_cross_entropy(img, class_txt, jnp.asarray([0, 3]))
     assert float(loss) < 0.1
+
+
+def test_small_variant_dispatch_and_forward():
+    """vit_small / deit_small dims from `vit_pytorch.py:498-521`."""
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, init_signal_params)
+
+    cfg = Config()
+    cfg.MODEL.TRANSFORMER_TYPE = "vit_small_patch16_224"
+    spec = ModelSpec.from_config(cfg, num_classes=5, camera_num=2)
+    assert (spec.layers, spec.num_heads, spec.mlp_ratio) == (8, 8, 3.0)
+    assert spec.qk_scale == pytest.approx(768 ** -0.5)
+
+    cfg.MODEL.TRANSFORMER_TYPE = "deit_small_patch16_224"
+    spec = ModelSpec.from_config(cfg, num_classes=5, camera_num=2)
+    assert (spec.width, spec.layers, spec.num_heads, spec.feat_dim) == (
+        384, 12, 6, 384)
+
+    # tiny forward through the qk_scale path
+    cfg.MODEL.TRANSFORMER_TYPE = "vit_small_patch16_224"
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    spec = ModelSpec.from_config(cfg, num_classes=5, camera_num=2)
+    spec = dataclasses.replace(spec, layers=2, width=48, feat_dim=48,
+                               num_heads=4, h=4, w=2, use_flash=False,
+                               compute_dtype="float32")
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    imgs = {m: jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+            for m in ("RGB", "NI", "TI")}
+    cams = jnp.asarray([0, 1])
+    feat = forward_eval(params, bn, imgs, cams, spec)
+    assert feat.shape == (2, 3 * 48) and np.isfinite(np.asarray(feat)).all()

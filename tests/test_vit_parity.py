@@ -106,6 +106,19 @@ def test_return_intermediate_consistency():
     assert x_last.shape == (2, 9, 32) and x_post.shape == (2, 9, 32)
 
 
+def test_bf16_stream_close_to_fp32():
+    """bf16 residual stream (production dtype) tracks the fp32 tower."""
+    params = init_vit_params(jax.random.PRNGKey(3), h_resolution=4,
+                             w_resolution=2, width=64, layers=3, output_dim=32)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+    p32, c32 = vit_forward(params, imgs, num_heads=4, compute_dtype=jnp.float32)
+    p16, c16 = vit_forward(params, imgs, num_heads=4, compute_dtype=jnp.bfloat16)
+    # bf16 has ~2-3 decimal digits; activations are O(1)
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=0.15, rtol=0.1)
+    assert np.isfinite(np.asarray(p16)).all()
+
+
 def test_adapter_branch_changes_output():
     import dataclasses
 
