@@ -33,6 +33,8 @@ def main():
     cfg.SOLVER.OPTIMIZER_NAME = "Adam"
     cfg.SOLVER.BASE_LR = 3.5e-4
     cfg.SOLVER.IMS_PER_BATCH = 64
+    if len(sys.argv) > 1:  # optional KEY VALUE overrides for A/B runs
+        cfg.merge_from_list(sys.argv[1:])
     num_classes = 171
 
     spec = ModelSpec.from_config(cfg, num_classes=num_classes, camera_num=4)

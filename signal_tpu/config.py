@@ -59,6 +59,7 @@ class ModelConfig:
     # this Pallas kernel 808 (per-(b,h) programs too small) — XLA default
     USE_PALLAS_ATTENTION: bool = False
     REMAT: bool = True                 # per-block rematerialization in backward
+    REMAT_POLICY: str = "full"         # 'full' (save nothing) | 'dots' (save matmul outs)
 
 
 @dataclass

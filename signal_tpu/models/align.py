@@ -94,6 +94,12 @@ def das_reference_points(hk: int, wk: int) -> jnp.ndarray:
 def das_forward(params, x: jnp.ndarray, *, stride: int = 4, offset_range_factor: float = 2.0) -> jnp.ndarray:
     """x [B, C, H, W] → sampled [B, C, H/stride, W/stride]."""
     B, C, H, W = x.shape
+    if H < stride or W < stride:
+        # the k×k stride-k VALID offset conv would produce an empty tensor
+        # (torch errors the same way on the reference's Conv2d, `DAS.py:60`)
+        raise ValueError(
+            f"DAS needs a patch grid of at least {stride}x{stride}, got "
+            f"{H}x{W}; the Signal configs use 16x8 (256x128 images)")
     x32 = x.astype(jnp.float32)
     q = _conv(x32, params["proj_q"]["kernel"], params["proj_q"]["bias"])
     h = _conv(q, params["off_conv1"]["kernel"], params["off_conv1"]["bias"])

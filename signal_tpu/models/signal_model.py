@@ -60,6 +60,7 @@ class ModelSpec:
     adapter: bool = False        # MODEL.ADAPTER (MambaPro parallel adapter)
     prompt: bool = False         # MODEL.PROMPT (MambaPro prompt tokens)
     remat: bool = True           # per-block rematerialization (backward)
+    remat_policy: str = "full"   # 'full' | 'dots' (save matmul outputs)
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
 
     @classmethod
@@ -115,6 +116,7 @@ class ModelSpec:
             adapter=bool(cfg.MODEL.ADAPTER),
             prompt=bool(cfg.MODEL.PROMPT),
             remat=bool(getattr(cfg.MODEL, "REMAT", True)),
+            remat_policy=str(getattr(cfg.MODEL, "REMAT_POLICY", "full")),
             miss=str(cfg.TEST.MISS),
         )
 
@@ -226,6 +228,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             compute_dtype=spec.cdtype,
             use_flash=spec.use_flash,
             remat=spec.remat,
+            remat_policy=spec.remat_policy,
         )
     elif spec.backbone == "t2t":
         from signal_tpu.models.t2t import t2t_forward

@@ -140,6 +140,7 @@ def vit_forward(
     use_flash: bool = False,
     return_intermediate: bool = False,
     remat: bool = True,
+    remat_policy: str = "full",
 ) -> Tuple[jnp.ndarray, ...]:
     """images [B, 3, H, W] → (patch_tokens [B, L, out], cls [B, out]).
 
@@ -184,10 +185,15 @@ def vit_forward(
         # scan-over-remat: backward recomputes each block's activations —
         # 12 ViT-B blocks at [3B, 129, 768] fp32 otherwise blow out HBM
         # (measured: 22.7G > 15.75G on v5e at the reference's B=64).
-        # full remat beats dots_saveable here (208.8 vs 183.8 samples/s on
-        # v5e: at 129 tokens the recompute is cheaper than the HBM traffic
-        # of saving per-dot activations).
-        block_fn = jax.checkpoint(block_fn)
+        # full remat beats dots_saveable here (fp32 stream: 208.8 vs 183.8
+        # samples/s on v5e: at 129 tokens the recompute is cheaper than the
+        # HBM traffic of saving per-dot activations).
+        if remat_policy == "dots":
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        else:
+            block_fn = jax.checkpoint(block_fn)
 
     def body(carry, layer_params):
         return block_fn(layer_params, carry), None

@@ -122,3 +122,13 @@ def test_align_forward_stages():
     assert lam is None and np.isfinite(float(gam))
     gam2, lam2 = align_forward(params, jnp.asarray(patches), h=8, w=4, stage="together_CLS_Patch")
     assert np.isfinite(float(gam2)) and np.isfinite(float(lam2))
+
+
+def test_das_rejects_grid_smaller_than_stride():
+    """A grid under the offset conv's 4x4/stride-4 footprint must error
+    loudly (the reference's torch Conv2d would raise output-size-0 too),
+    not produce an empty tensor and nan losses downstream."""
+    params = init_align_params(jax.random.PRNGKey(0), 8)
+    patches = jnp.zeros((2, 3, 8, 8))  # L=8 → grid 4x2
+    with pytest.raises(ValueError, match="DAS needs"):
+        lam_loss(params, patches, h=4, w=2)

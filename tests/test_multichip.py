@@ -38,8 +38,9 @@ def test_dp_matches_single_device_loss():
     cfg.SOLVER.IMS_PER_BATCH = 16
     num_classes = 8
     spec = ModelSpec.from_config(cfg, num_classes=num_classes, camera_num=2)
+    # w=4 (not 2): LAM's DAS requires both grid dims >= its stride of 4
     spec = dataclasses.replace(spec, layers=2, width=64, feat_dim=32,
-                               num_heads=4, h=4, w=2, topk=4, use_flash=False,
+                               num_heads=4, h=4, w=4, topk=4, use_flash=False,
                                compute_dtype="float32")
 
     params, bn_state = init_signal_params(jax.random.PRNGKey(0), spec)
@@ -49,7 +50,7 @@ def test_dp_matches_single_device_loss():
     B = 16
     rng = np.random.default_rng(0)
     batch = {
-        "imgs": {m: jnp.asarray(rng.standard_normal((B, 3, 64, 32)), jnp.float32)
+        "imgs": {m: jnp.asarray(rng.standard_normal((B, 3, 64, 64)), jnp.float32)
                  for m in ("RGB", "NI", "TI")},
         "pids": jnp.asarray(rng.integers(0, num_classes, B)),
         "camids": jnp.asarray(rng.integers(0, 2, B)),
@@ -71,6 +72,7 @@ def test_dp_matches_single_device_loss():
             p8, jax.tree.map(jnp.copy, bn_state), adam_init(p8), b8,
             jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
 
+    assert np.isfinite(float(loss_ref)), "single-device loss must be finite"
     np.testing.assert_allclose(float(loss_ref), float(loss_dp), rtol=1e-4)
     np.testing.assert_allclose(float(acc_ref), float(acc_dp), rtol=1e-6)
 
