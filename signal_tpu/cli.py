@@ -1,0 +1,108 @@
+"""Console entry points (`signal-tpu-train` / `signal-tpu-test`).
+
+Same surface as the repo-root `train.py` / `test.py` shims, which mirror
+the reference CLIs (`train.py:24-109`, `test.py:10-52` in
+maxingan2412/Signal).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+
+def train_main(argv=None):
+    parser = argparse.ArgumentParser(description="Signal-TPU Training")
+    parser.add_argument("--config_file", default="configs/RGBNT201/Signal.yml",
+                        help="path to config file", type=str)
+    parser.add_argument("--fea_cft", default=0, type=int,
+                        help="Feature choose to be tested")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                        help="Modify config options from the command line")
+    parser.add_argument("--local_rank", default=0, type=int)
+    parser.add_argument("--resume", default="", type=str,
+                        help="orbax checkpoint dir to resume from")
+    args = parser.parse_args(argv)
+
+    from signal_tpu.config import load_config
+
+    cfg = load_config(args.config_file if args.config_file else None, args.opts)
+    cfg.TEST.FEAT = args.fea_cft
+
+    random.seed(cfg.SOLVER.SEED)
+    np.random.seed(cfg.SOLVER.SEED)
+
+    import jax
+
+    from signal_tpu.data import make_dataloader
+    from signal_tpu.engine.train import do_train
+    from signal_tpu.models.signal_model import ModelSpec
+    from signal_tpu.utils.logger import setup_logger
+
+    out_dir = os.path.join(cfg.OUTPUT_DIR, cfg.ckpt_save_path)
+    os.makedirs(out_dir, exist_ok=True)
+    logger = setup_logger("signal_tpu", out_dir, if_train=True)
+    logger.info("JAX devices: %s", jax.devices())
+    logger.info("Running with config:\n%s", cfg.dump())
+
+    (train_loader, train_loader_normal, val_loader,
+     num_query, num_classes, camera_num, view_num) = make_dataloader(cfg)
+    logger.info("dataset: %s classes=%d cams=%d views=%d query=%d",
+                cfg.DATASETS.NAMES, num_classes, camera_num, view_num, num_query)
+
+    spec = ModelSpec.from_config(cfg, num_classes, camera_num)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from signal_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(num_model=cfg.PARALLEL.MODEL_AXIS)
+        logger.info("mesh: %s", mesh)
+
+    do_train(cfg, spec, train_loader, val_loader, num_query, num_classes,
+             mesh=mesh, resume_from=args.resume or None)
+
+
+def test_main(argv=None):
+    parser = argparse.ArgumentParser(description="Signal-TPU Testing")
+    parser.add_argument("--config_file", default="configs/RGBNT201/Signal.yml", type=str)
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args(argv)
+
+    from signal_tpu.config import load_config
+
+    cfg = load_config(args.config_file if args.config_file else None, args.opts)
+
+    import jax
+
+    from signal_tpu.data import make_dataloader
+    from signal_tpu.engine.eval import do_inference
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.utils.logger import setup_logger
+
+    out_dir = os.path.join(cfg.OUTPUT_DIR, cfg.ckpt_test_path)
+    os.makedirs(out_dir, exist_ok=True)
+    logger = setup_logger("signal_tpu", out_dir, if_train=False)
+
+    (_, _, val_loader, num_query, num_classes, camera_num, _) = make_dataloader(cfg)
+    spec = ModelSpec.from_config(cfg, num_classes, camera_num)
+    params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
+
+    weight = cfg.TEST.WEIGHT
+    if weight:
+        if weight.endswith((".pth", ".pt")):
+            from signal_tpu.models.clip_loader import load_reference_signal_checkpoint
+
+            params, bn_state = load_reference_signal_checkpoint(params, bn_state, weight, spec)
+            logger.info("Loaded torch reference checkpoint %s", weight)
+        else:
+            from signal_tpu.utils.checkpoint import load_checkpoint
+
+            tree = load_checkpoint(weight, {"params": params, "bn_state": bn_state})
+            params, bn_state = tree["params"], tree["bn_state"]
+            logger.info("Loaded orbax checkpoint %s", weight)
+
+    do_inference(cfg, spec, params, bn_state, val_loader, num_query)

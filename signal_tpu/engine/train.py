@@ -146,6 +146,14 @@ def do_train(
         params = shard_params(params, mesh)
 
     group_trees = build_param_groups(params, cfg)
+    # param-count log line as the reference's startup (`train.py:75-78`);
+    # trainable = params whose group-tree entry isn't frozen
+    n_total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    n_train = sum(
+        int(np.prod(p.shape))
+        for p, t in zip(jax.tree.leaves(params), jax.tree.leaves(group_trees[2])) if t)
+    logger.info("number of parameters: %.6fM (trainable %.6fM)",
+                n_total / 1e6, n_train / 1e6)
     use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
     opt_state = (jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
                  if use_sgd else adam_init(params))

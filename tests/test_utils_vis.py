@@ -1,0 +1,112 @@
+"""Tests for the observability / research-tooling periphery: vis.py,
+utils/{flops,tracer,profiler,meter,logger}."""
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signal_tpu.utils.flops import cost_analysis, param_count
+from signal_tpu.utils.meter import AverageMeter
+from signal_tpu.utils.tracer import trace_callable
+from signal_tpu.vis import (
+    das_offset_field, input_saliency, masks_to_grids, overlay_mask,
+    save_ranked_list)
+
+
+def test_masks_to_grids_and_overlay():
+    masks = {"RGB": np.r_[np.ones(4), np.zeros(4)].reshape(1, 8)}
+    grids = masks_to_grids(masks, h=4, w=2)
+    assert grids["RGB"].shape == (1, 4, 2)
+    img = np.random.default_rng(0).random((3, 64, 32)).astype(np.float32)
+    out = overlay_mask(img, grids["RGB"][0])
+    assert out.shape == (64, 32, 3) and out.dtype == np.uint8
+    # masked-out rows are dimmed relative to full-overlay alpha=1
+    bright = overlay_mask(img, np.ones((4, 2)))
+    assert out[40:, :, :].mean() <= bright[40:, :, :].mean()
+
+
+def test_input_saliency_shapes():
+    def fwd(imgs):
+        return jnp.stack([imgs[m].mean(axis=(1, 2, 3)) for m in imgs], -1)
+
+    imgs = {m: jnp.ones((2, 3, 8, 8)) for m in ("RGB", "NI", "TI")}
+    sal = input_saliency(fwd, imgs)
+    assert set(sal) == {"RGB", "NI", "TI"}
+    assert sal["RGB"].shape == (2, 8, 8)
+    assert np.all(np.asarray(sal["RGB"]) >= 0)  # absolute-valued
+
+
+def test_das_offset_field():
+    from signal_tpu.models.align import init_das_params
+
+    params = init_das_params(jax.random.PRNGKey(0), 8)
+    grid = np.random.default_rng(0).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    pos = das_offset_field(params, grid)
+    # downsampled sample positions: (8/4)x(4/4) = 2x1 points, (x, y) coords
+    assert pos.shape == (1, 2, 1, 2)
+    assert np.isfinite(pos).all() and np.abs(pos).max() <= 1.0
+
+
+def test_save_ranked_list(tmp_path):
+    dist = np.asarray([[0.3, 0.1, 0.2], [0.5, 0.9, 0.0]])
+    rows = save_ranked_list(dist, ["q0", "q1"], ["g0", "g1", "g2"],
+                            str(tmp_path), topk=2)
+    assert rows[0] == ["g1", "g2"] and rows[1] == ["g2", "g0"]
+    assert (tmp_path / "ranked_lists.txt").exists()
+
+
+def test_cost_analysis_flops_positive():
+    def f(x):
+        return x @ x
+    costs = cost_analysis(f, jnp.ones((32, 32)))
+    # 32x32x32 matmul ≈ 2*32^3 flops (backend-dependent accounting; > 0)
+    assert costs.get("flops", 0) > 0
+
+
+def test_param_count():
+    tree = {"a": jnp.ones((3, 4)), "b": {"c": jnp.ones((5,))}}
+    assert param_count(tree) == 17
+
+
+def test_tracer_writes_log(tmp_path):
+    out = str(tmp_path / "trace_log.txt")
+
+    def g(n):
+        return sum(range(n))
+
+    result = trace_callable(g, 5, mode="calls", out_path=out)
+    assert result == 10
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0, 1)
+    m.update(3.0, 3)
+    assert m.avg == (1.0 + 9.0) / 4
+    m.reset()
+    assert m.avg == 0
+
+
+def test_step_timer():
+    from signal_tpu.utils.profiler import StepTimer
+
+    t = StepTimer()
+    t.tick(4)
+    per_batch, speed = t.summary(batch_size=64)
+    assert per_batch >= 0.0 and speed > 0.0 and t.batches == 4
+
+
+def test_setup_logger(tmp_path):
+    from signal_tpu.utils.logger import setup_logger
+
+    lg = setup_logger("signal_tpu_test_xyz", str(tmp_path), if_train=True)
+    lg.info("hello")
+    assert (tmp_path / "train_log.txt").exists()
+    # avoid duplicate handlers leaking into other tests
+    for h in list(lg.handlers):
+        lg.removeHandler(h)
+    logging.getLogger("signal_tpu_test_xyz").handlers.clear()
