@@ -121,7 +121,8 @@ def mha(
     if use_flash and mask is None and scale is None:
         from signal_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v, num_heads=num_heads)
+        out = flash_attention(q, k, v, num_heads=num_heads,
+                              compute_dtype=compute_dtype)
     else:
         out = _attention_core(q, k, v, num_heads, compute_dtype, mask=mask,
                               scale=scale)
