@@ -108,3 +108,37 @@ def test_tp_forward_matches_single_device():
         sharded = shard_batch({"imgs": imgs, "camids": cam}, mesh)
         out = fn(p_tp, bn, sharded["imgs"], sharded["camids"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+@requires_8_devices
+def test_eval_mesh_matches_single_device(tmp_path):
+    """do_inference over a data-parallel mesh = single-device mAP/CMC."""
+    import dataclasses as dc
+
+    from signal_tpu.data import make_dataloader
+    from signal_tpu.engine.eval import do_inference
+    from signal_tpu.models.signal_model import (
+        ModelSpec, init_signal_params)
+    from signal_tpu.parallel.mesh import create_mesh
+
+    cfg = Config()
+    cfg.DATASETS.NAMES = "synthetic"
+    cfg.INPUT.SIZE_TRAIN = (64, 64)
+    cfg.INPUT.SIZE_TEST = (64, 64)
+    cfg.TEST.IMS_PER_BATCH = 8
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = False
+    cfg.MODEL.TOPK = 3
+    (_, _, val_loader, num_query, num_classes, cam_num, _) = make_dataloader(cfg)
+    spec = ModelSpec.from_config(cfg, num_classes, cam_num)
+    spec = dc.replace(spec, layers=2, width=32, feat_dim=16, num_heads=4,
+                      h=4, w=4, use_flash=False, compute_dtype="float32")
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+
+    cmc_ref, map_ref = do_inference(cfg, spec, params, bn, val_loader, num_query)
+    (_, _, val_loader2, *_), = [make_dataloader(cfg)]  # fresh iterator
+    mesh = create_mesh(num_data=8, num_model=1)
+    cmc_dp, map_dp = do_inference(cfg, spec, params, bn, val_loader2,
+                                  num_query, mesh=mesh)
+    np.testing.assert_allclose(map_dp, map_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cmc_dp), np.asarray(cmc_ref), atol=1e-6)
