@@ -60,7 +60,16 @@ def main():
             return acc + jnp.sum(forward_eval(p, s, xi, c, spec))
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
-    float(run_n(params, bn_state, imgs, cam))  # compile + warm
+    # one retry: the remote-TPU tunnel occasionally drops a first request
+    # with a transient FAILED_PRECONDITION
+    for attempt in (0, 1):
+        try:
+            float(run_n(params, bn_state, imgs, cam))  # compile + warm
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(5)
     t0 = time.perf_counter()
     float(run_n(params, bn_state, imgs, cam))
     dt = time.perf_counter() - t0

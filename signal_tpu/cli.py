@@ -53,7 +53,7 @@ def train_main(argv=None):
     logger.info("dataset: %s classes=%d cams=%d views=%d query=%d",
                 cfg.DATASETS.NAMES, num_classes, camera_num, view_num, num_query)
 
-    spec = ModelSpec.from_config(cfg, num_classes, camera_num)
+    spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -87,8 +87,9 @@ def test_main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     logger = setup_logger("signal_tpu", out_dir, if_train=False)
 
-    (_, _, val_loader, num_query, num_classes, camera_num, _) = make_dataloader(cfg)
-    spec = ModelSpec.from_config(cfg, num_classes, camera_num)
+    (_, _, val_loader, num_query, num_classes, camera_num,
+     view_num) = make_dataloader(cfg)
+    spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
     params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
 
     weight = cfg.TEST.WEIGHT

@@ -35,6 +35,7 @@ class ModelSpec:
     """Hashable static model description (safe as a jit static arg)."""
     num_classes: int
     camera_num: int
+    view_num: int = 0            # SIE view slots (imagenet tower only)
     backbone: str = "clip"       # 'clip' (ViT-B-16) | 'imagenet' (timm ViT)
     feat_dim: int = 512          # CLIP ViT-B/16 output dim (768 imagenet)
     width: int = 768
@@ -50,6 +51,7 @@ class ModelSpec:
     topk: int = 80
     keep_ratio: Optional[float] = None
     sie_camera: bool = True
+    sie_view: bool = False
     sie_coe: float = 1.0
     stage: str = "together_CLS_Patch"
     compute_dtype: str = "bfloat16"
@@ -64,7 +66,8 @@ class ModelSpec:
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
 
     @classmethod
-    def from_config(cls, cfg, num_classes: int, camera_num: int) -> "ModelSpec":
+    def from_config(cls, cfg, num_classes: int, camera_num: int,
+                    view_num: int = 0) -> "ModelSpec":
         h = cfg.INPUT.SIZE_TRAIN[0] // cfg.MODEL.STRIDE_SIZE[0]
         w = cfg.INPUT.SIZE_TRAIN[1] // cfg.MODEL.STRIDE_SIZE[1]
         keep_ratio = cfg.MODEL.KEEP_RATIO if cfg.MODEL.FIXED_KEEP_RATIO else None
@@ -92,6 +95,7 @@ class ModelSpec:
         return cls(
             num_classes=num_classes,
             camera_num=camera_num,
+            view_num=view_num if cfg.MODEL.SIE_VIEW else 0,
             backbone=backbone,
             feat_dim=feat_dim,
             width=width,
@@ -108,6 +112,7 @@ class ModelSpec:
             mlp_ratio=mlp_ratio,
             qk_scale=qk_scale,
             sie_camera=bool(cfg.MODEL.SIE_CAMERA),
+            sie_view=bool(cfg.MODEL.SIE_VIEW),
             sie_coe=float(cfg.MODEL.SIE_COE),
             stage=cfg.MODEL.stageName.strip(),
             compute_dtype=cfg.MODEL.COMPUTE_DTYPE,
@@ -173,6 +178,7 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
             width=spec.width,
             layers=spec.layers,
             camera_num=spec.camera_num if spec.sie_camera else 0,
+            view_num=spec.view_num,
             mlp_ratio=spec.mlp_ratio,
         )
 
@@ -200,7 +206,7 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
 
 
 def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
-            rng=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            view_label=None, rng=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """imgs [B, 3(modal), 3(ch), H, W] → patches [B, 3, L, D], cls [B, 3, D]."""
     B = imgs.shape[0]
     x = imgs.reshape(B * 3, *imgs.shape[2:])
@@ -244,8 +250,11 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
         from signal_tpu.models.vit_imagenet import imagenet_vit_forward
 
         cams = jnp.tile(cam_label, (3,)) if cam_label is not None else None
+        views = jnp.tile(view_label, (3,)) if view_label is not None else None
         patches, cls = imagenet_vit_forward(
-            params["base"], x, cams,
+            params["base"], x, cams, views,
+            camera_num=spec.camera_num if spec.sie_camera else 0,
+            view_num=spec.view_num,
             sie_xishu=spec.sie_coe,
             num_heads=spec.num_heads,
             stride_size=spec.stride_size,
@@ -272,6 +281,7 @@ def forward_train(
     cam_label,
     spec: ModelSpec,
     rng=None,
+    view_label=None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Training forward. Returns (outputs, new_bn_state).
 
@@ -282,7 +292,7 @@ def forward_train(
     (vars_score, vars_total) if USE_A.
     """
     x = _stack_modalities(imgs)
-    patches, cls = _encode(params, spec, x, cam_label, rng=rng)
+    patches, cls = _encode(params, spec, x, cam_label, view_label, rng=rng)
     new_state = dict(bn_state)
     out: Dict[str, Any] = {"scores": [], "feats": [], "gam": None, "lam": None, "masks": None}
 
@@ -343,12 +353,13 @@ def forward_eval(
     imgs: Dict[str, jnp.ndarray],
     cam_label,
     spec: ModelSpec,
+    view_label=None,
 ) -> jnp.ndarray:
     """Inference features: [B, 3D] (no SIM) or [B, 6D] (with SIM),
     taken BEFORE the BNNecks (TEST.NECK_FEAT='before', `make_model.py:284-290`)."""
     x = _stack_modalities(imgs)
     x = _apply_miss(x, spec.miss)
-    patches, cls = _encode(params, spec, x, cam_label)
+    patches, cls = _encode(params, spec, x, cam_label, view_label)
     ori = cls.reshape(cls.shape[0], -1)
     if not spec.use_a:
         return ori
@@ -366,9 +377,11 @@ def forward_eval(
 class SignalModel:
     """Thin OO shell over the functional model (CLI/engine convenience)."""
 
-    def __init__(self, cfg, num_classes: int, camera_num: int, key=None):
+    def __init__(self, cfg, num_classes: int, camera_num: int,
+                 view_num: int = 0, key=None):
         self.cfg = cfg
-        self.spec = ModelSpec.from_config(cfg, num_classes, camera_num)
+        self.spec = ModelSpec.from_config(cfg, num_classes, camera_num,
+                                          view_num)
         key = key if key is not None else jax.random.PRNGKey(cfg.SOLVER.SEED)
         self.params, self.bn_state = init_signal_params(key, self.spec)
 
@@ -385,6 +398,8 @@ class SignalModel:
 
 
 def make_frame(cfg, num_class: int, camera_num: int, view_num: int = 0, key=None) -> SignalModel:
-    """Factory mirroring `modeling/make_model.py:304-319`."""
-    del view_num  # reference never uses views (`meta_arch.py:53`)
-    return SignalModel(cfg, num_class, camera_num, key=key)
+    """Factory mirroring `modeling/make_model.py:304-319`. View SIE only
+    applies on the imagenet tower when MODEL.SIE_VIEW (`vit_pytorch.py:
+    421-428`); the CLIP tower is camera-only like the reference's
+    (`meta_arch.py:53,85-103`)."""
+    return SignalModel(cfg, num_class, camera_num, view_num, key=key)

@@ -96,16 +96,23 @@ def init_vit_params(
 
 
 def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool):
+    from jax.ad_checkpoint import checkpoint_name
+
     dt = x.dtype  # residual stream dtype (bf16 ≙ the reference's fp16 autocast)
-    x = x + mha(
+    attn_out = mha(
         params["attn"],
         layer_norm(params["ln_1"], x),
         num_heads=num_heads,
         compute_dtype=compute_dtype,
         use_flash=use_flash,
     ).astype(dt)
+    # named for selective remat policies ('attn' / 'attn_mlp'): saving
+    # these [3B, L, D]-bf16 tensors is cheap and skips recomputing the
+    # attention (and optionally the MLP fc) during the backward replay
+    x = x + checkpoint_name(attn_out, "attn_out")
     h = layer_norm(params["ln_2"], x)
     h = quick_gelu(linear(params["mlp"]["fc_kernel"], params["mlp"]["fc_bias"], h, compute_dtype))
+    h = checkpoint_name(h, "mlp_hidden")
     h = linear(params["mlp"]["proj_kernel"], params["mlp"]["proj_bias"], h, compute_dtype)
     if "adapter" in params:
         # MambaPro parallel adapter (`clip/model.py:206-209,233-237`):
@@ -192,6 +199,18 @@ def vit_forward(
             block_fn = jax.checkpoint(
                 block_fn,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif remat_policy == "attn":
+            # save each block's attention output ([3B, L, D] bf16 — cheap):
+            # the backward replay recomputes only LN + MLP
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+        elif remat_policy == "attn_mlp":
+            # additionally save the GELU'd MLP hidden ([3B, L, 4D] fp32)
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "mlp_hidden"))
         else:
             block_fn = jax.checkpoint(block_fn)
 

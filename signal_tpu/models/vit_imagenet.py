@@ -40,6 +40,7 @@ def init_imagenet_vit_params(
     width: int = 768,
     layers: int = 12,
     camera_num: int = 0,
+    view_num: int = 0,
     mlp_ratio: float = 4.0,
     dtype=jnp.float32,
 ):
@@ -89,8 +90,16 @@ def init_imagenet_vit_params(
         "blocks": stacked,
         "norm": init_layer_norm(width, dtype),
     }
-    if camera_num > 1:
-        params["sie_embed"] = trunc_normal(keys[2], (camera_num, width), 0.02, dtype)
+    # SIE slots (`vit_pytorch.py:421-428`): cam·view when both present,
+    # else whichever axis is >1
+    if camera_num > 1 and view_num > 1:
+        slots = camera_num * view_num
+    elif camera_num > 1 or view_num > 1:
+        slots = max(camera_num, view_num)
+    else:
+        slots = 0
+    if slots:
+        params["sie_embed"] = trunc_normal(keys[2], (slots, width), 0.02, dtype)
     return params
 
 
@@ -98,7 +107,10 @@ def imagenet_vit_forward(
     params,
     images: jnp.ndarray,
     cam_label=None,
+    view_label=None,
     *,
+    camera_num: int = 0,
+    view_num: int = 0,
     sie_xishu: float = 1.0,
     num_heads: int = 12,
     stride_size: int = 16,
@@ -125,9 +137,19 @@ def imagenet_vit_forward(
     cls_tok = jnp.broadcast_to(params["cls_token"].astype(jnp.float32), (B, 1, width))
     x = jnp.concatenate([cls_tok, x], axis=1)
     x = x + params["pos_embed"].astype(jnp.float32)[None]
-    if "sie_embed" in params and cam_label is not None:
-        # SIE added to ALL tokens here (CLS-only in the CLIP tower)
-        x = x + sie_xishu * params["sie_embed"][cam_label][:, None, :].astype(jnp.float32)
+    if "sie_embed" in params:
+        # SIE added to ALL tokens here (CLS-only in the CLIP tower);
+        # index selection mirrors `vit_pytorch.py:422-428`
+        idx = None
+        if camera_num > 1 and view_num > 1 and cam_label is not None \
+                and view_label is not None:
+            idx = cam_label * view_num + view_label
+        elif camera_num > 1 and cam_label is not None:
+            idx = cam_label
+        elif view_num > 1 and view_label is not None:
+            idx = view_label
+        if idx is not None:
+            x = x + sie_xishu * params["sie_embed"][idx][:, None, :].astype(jnp.float32)
 
     n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
     # timm stochastic-depth decay: rate_i = i/(L-1) · drop_path_rate

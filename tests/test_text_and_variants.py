@@ -128,14 +128,36 @@ def test_imagenet_vit_forward_and_sie_all_tokens():
     imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
     cams = jnp.asarray([0, 2])
     patches, cls = imagenet_vit_forward(params, imgs, cams, num_heads=4,
-                                        sie_xishu=1.5,
+                                        camera_num=3, sie_xishu=1.5,
                                         compute_dtype=jnp.float32)
     assert patches.shape == (2, 8, 32) and cls.shape == (2, 32)
     # SIE affects the output (different cams → different feats on same img)
     p2, c2 = imagenet_vit_forward(params, imgs, jnp.asarray([1, 1]),
-                                  num_heads=4, sie_xishu=1.5,
+                                  num_heads=4, camera_num=3, sie_xishu=1.5,
                                   compute_dtype=jnp.float32)
     assert not np.allclose(np.asarray(cls), np.asarray(c2))
+
+
+def test_imagenet_vit_view_sie():
+    """cam·view_num + view SIE indexing (`vit_pytorch.py:422-428`)."""
+    from signal_tpu.models.vit_imagenet import (
+        imagenet_vit_forward, init_imagenet_vit_params)
+
+    params = init_imagenet_vit_params(
+        jax.random.PRNGKey(0), img_size=(64, 32), width=32, layers=2,
+        camera_num=2, view_num=3)
+    assert params["sie_embed"].shape[0] == 6
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+    cams, views = jnp.asarray([0, 1]), jnp.asarray([2, 0])
+    _, c1 = imagenet_vit_forward(params, imgs, cams, views, camera_num=2,
+                                 view_num=3, num_heads=4,
+                                 compute_dtype=jnp.float32)
+    # same cams, different views → different embeddings
+    _, c2 = imagenet_vit_forward(params, imgs, cams, jnp.asarray([1, 1]),
+                                 camera_num=2, view_num=3, num_heads=4,
+                                 compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
 
 
 def test_signal_model_with_imagenet_backbone():

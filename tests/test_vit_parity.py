@@ -148,3 +148,26 @@ def test_adapter_branch_changes_output():
         z["base"]["blocks"]["adapter"]["up_kernel"])
     out2 = forward_eval(z, bn, imgs, cams, spec)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_remat_policies_same_values_and_grads():
+    """'full' / 'dots' / 'attn' / 'attn_mlp' only trade memory for
+    recompute — values and gradients must be identical."""
+    params = init_vit_params(jax.random.PRNGKey(5), h_resolution=4,
+                             w_resolution=2, width=64, layers=2, output_dim=32)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+
+    def loss(p, policy):
+        patches, cls = vit_forward(p, imgs, num_heads=4,
+                                   compute_dtype=jnp.float32,
+                                   remat=True, remat_policy=policy)
+        return jnp.sum(cls ** 2) + jnp.sum(patches ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(lambda p: loss(p, "full"))(params)
+    for policy in ("dots", "attn", "attn_mlp"):
+        v, g = jax.value_and_grad(lambda p: loss(p, policy))(params)
+        np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
