@@ -76,6 +76,12 @@ class ModelSpec:
         mlp_ratio, qk_scale = 4.0, None
         if "ViT-B-16" in ttype:
             backbone, feat_dim = "clip", 512          # `make_model.py:49-52`
+        elif ttype == "resnet50":
+            # CNN path (representative of the reference's backbone zoo);
+            # last-stride-1 → /16 grid, 2048-dim features
+            backbone, feat_dim = "resnet", 2048
+            h = cfg.INPUT.SIZE_TRAIN[0] // 16
+            w = cfg.INPUT.SIZE_TRAIN[1] // 16
         elif ttype.startswith("t2t"):
             backbone, feat_dim = "t2t", 384
             width, heads = 384, 6
@@ -167,6 +173,10 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
             depth=spec.layers,
             camera_num=spec.camera_num if spec.sie_camera else 0,
         )
+    elif spec.backbone == "resnet":
+        from signal_tpu.models.resnet import init_resnet50_params
+
+        params["base"], bn_state["base"] = init_resnet50_params(ks[0])
     else:
         from signal_tpu.models.vit_imagenet import init_imagenet_vit_params
 
@@ -206,9 +216,12 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
 
 
 def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
-            view_label=None, rng=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """imgs [B, 3(modal), 3(ch), H, W] → patches [B, 3, L, D], cls [B, 3, D]."""
+            view_label=None, rng=None, base_state=None, training=False):
+    """imgs [B, 3(modal), 3(ch), H, W] → (patches [B, 3, L, D],
+    cls [B, 3, D], new_base_state | None). Only the resnet backbone
+    carries state (BatchNorm running stats)."""
     B = imgs.shape[0]
+    new_base = None
     x = imgs.reshape(B * 3, *imgs.shape[2:])
     if spec.backbone == "clip":
         cv = None
@@ -226,7 +239,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
                 for m, name in enumerate(("rgb", "nir", "tir"))]
             patches = jnp.stack([o[0] for o in outs], axis=1)
             cls = jnp.stack([o[1] for o in outs], axis=1)
-            return patches, cls
+            return patches, cls, None
         cv3 = jnp.tile(cv, (3, 1)) if cv is not None else None
         patches, cls = vit_mod.vit_forward(
             params["base"], x, cv3,
@@ -236,6 +249,12 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             remat=spec.remat,
             remat_policy=spec.remat_policy,
         )
+    elif spec.backbone == "resnet":
+        from signal_tpu.models.resnet import resnet50_forward
+
+        patches, cls, new_base = resnet50_forward(
+            params["base"], base_state, x,
+            training=training, compute_dtype=spec.cdtype)
     elif spec.backbone == "t2t":
         from signal_tpu.models.t2t import t2t_forward
 
@@ -267,7 +286,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
     L, D = patches.shape[1], patches.shape[2]
     patches = patches.reshape(B, 3, L, D)
     cls = cls.reshape(B, 3, D)
-    return patches, cls
+    return patches, cls, new_base
 
 
 def _stack_modalities(imgs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -292,8 +311,12 @@ def forward_train(
     (vars_score, vars_total) if USE_A.
     """
     x = _stack_modalities(imgs)
-    patches, cls = _encode(params, spec, x, cam_label, view_label, rng=rng)
+    patches, cls, new_base = _encode(params, spec, x, cam_label, view_label,
+                                     rng=rng, base_state=bn_state.get("base"),
+                                     training=True)
     new_state = dict(bn_state)
+    if new_base is not None:
+        new_state["base"] = new_base
     out: Dict[str, Any] = {"scores": [], "feats": [], "gam": None, "lam": None, "masks": None}
 
     vars_total = None
@@ -359,7 +382,8 @@ def forward_eval(
     taken BEFORE the BNNecks (TEST.NECK_FEAT='before', `make_model.py:284-290`)."""
     x = _stack_modalities(imgs)
     x = _apply_miss(x, spec.miss)
-    patches, cls = _encode(params, spec, x, cam_label, view_label)
+    patches, cls, _ = _encode(params, spec, x, cam_label, view_label,
+                              base_state=bn_state.get("base"))
     ori = cls.reshape(cls.shape[0], -1)
     if not spec.use_a:
         return ori
