@@ -53,6 +53,7 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
     gram_w = cfg.MODEL.Gram_Loss_weight
     pat_w = cfg.MODEL.PAT_Loss_weight
     use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
+    use_adamw = cfg.SOLVER.OPTIMIZER_NAME == "AdamW"  # decoupled decay
     momentum = cfg.SOLVER.MOMENTUM
     use_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
     center_w = cfg.SOLVER.CENTER_LOSS_WEIGHT
@@ -95,7 +96,8 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
             new_params, new_opt = adam_update(
                 grads, opt_state, params,
                 base_lr_tree=base_lr_tree, wd_tree=wd_tree,
-                trainable_tree=trainable_tree, lr_a=lr_a, lr_b=lr_b)
+                trainable_tree=trainable_tree, lr_a=lr_a, lr_b=lr_b,
+                decoupled_wd=use_adamw)
         return new_params, new_bn, new_opt, loss, acc, centers
 
     return train_step

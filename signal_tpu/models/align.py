@@ -91,16 +91,18 @@ def das_reference_points(hk: int, wk: int) -> jnp.ndarray:
     return ref
 
 
-def das_forward(params, x: jnp.ndarray, *, stride: int = 4, offset_range_factor: float = 2.0) -> jnp.ndarray:
-    """x [B, C, H, W] → sampled [B, C, H/stride, W/stride]."""
-    B, C, H, W = x.shape
+def das_sample_positions(params, x32: jnp.ndarray, *, stride: int = 4,
+                         offset_range_factor: float = 2.0) -> jnp.ndarray:
+    """Offset half of DAS: x [B, C, H, W] fp32 → clamped sample positions
+    [B, Hk, Wk, 2] in (y, x) normalized coords. Shared by the forward and
+    the offset-field visualization (`zablation/offestvisual.py`)."""
+    B, C, H, W = x32.shape
     if H < stride or W < stride:
         # the k×k stride-k VALID offset conv would produce an empty tensor
         # (torch errors the same way on the reference's Conv2d, `DAS.py:60`)
         raise ValueError(
             f"DAS needs a patch grid of at least {stride}x{stride}, got "
             f"{H}x{W}; the Signal configs use 16x8 (256x128 images)")
-    x32 = x.astype(jnp.float32)
     q = _conv(x32, params["proj_q"]["kernel"], params["proj_q"]["bias"])
     h = _conv(q, params["off_conv1"]["kernel"], params["off_conv1"]["bias"])
     h = jax.nn.gelu(h, approximate=False)
@@ -116,7 +118,14 @@ def das_forward(params, x: jnp.ndarray, *, stride: int = 4, offset_range_factor:
         offset = jnp.broadcast_to(offset, (B, 2, hk, wk))
 
     offset = offset.transpose(0, 2, 3, 1)  # [B, Hk, Wk, 2] (dy, dx)
-    pos = jnp.clip(offset + das_reference_points(hk, wk)[None], -1.0, 1.0)
+    return jnp.clip(offset + das_reference_points(hk, wk)[None], -1.0, 1.0)
+
+
+def das_forward(params, x: jnp.ndarray, *, stride: int = 4, offset_range_factor: float = 2.0) -> jnp.ndarray:
+    """x [B, C, H, W] → sampled [B, C, H/stride, W/stride]."""
+    x32 = x.astype(jnp.float32)
+    pos = das_sample_positions(params, x32, stride=stride,
+                               offset_range_factor=offset_range_factor)
     grid_xy = pos[..., ::-1]  # grid_sample wants (x, y)
     return bilinear_grid_sample(x32, grid_xy, align_corners=True).astype(x.dtype)
 

@@ -97,8 +97,13 @@ def load_reference_signal_checkpoint(params: Dict[str, Any], bn_state: Dict[str,
     """Import a torch Signal state_dict (keys per `modeling/make_model.py`)."""
     sd = _torch_state_dict(path)
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
-    p = {k: v for k, v in params.items()}
-    bn = {k: dict(v) for k, v in bn_state.items()}
+    # structural copy (fresh containers, shared leaves) — the SIM/AlignM
+    # imports below assign into nested dicts and must not mutate the
+    # caller's tree
+    import jax
+
+    p = jax.tree.map(lambda x: x, params)
+    bn = jax.tree.map(lambda x: x, bn_state)
 
     # ViT tower under 'clip_vision_encoder.base.'
     base_sd = {k.replace("clip_vision_encoder.base.", "visual."): v

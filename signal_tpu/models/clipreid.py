@@ -43,6 +43,7 @@ class ClipReIDSpec:
     num_heads: int = 12
     h: int = 16
     w: int = 8
+    stride_size: int = 16
     sie_camera: bool = True
     sie_coe: float = 1.0
     neck_feat: str = "before"
@@ -57,6 +58,7 @@ class ClipReIDSpec:
             camera_num=camera_num,
             h=(cfg.INPUT.SIZE_TRAIN[0] - 16) // cfg.MODEL.STRIDE_SIZE[0] + 1,
             w=(cfg.INPUT.SIZE_TRAIN[1] - 16) // cfg.MODEL.STRIDE_SIZE[1] + 1,
+            stride_size=int(cfg.MODEL.STRIDE_SIZE[0]),
             sie_camera=bool(cfg.MODEL.SIE_CAMERA),
             sie_coe=float(cfg.MODEL.SIE_COE),
             neck_feat=cfg.TEST.NECK_FEAT,
@@ -107,7 +109,7 @@ def _image_triple(params, spec: ClipReIDSpec, images, cam_label):
     return vit_mod.vit_forward(
         params["base"], images, cv, num_heads=spec.num_heads,
         compute_dtype=spec.cdtype, use_flash=spec.use_flash,
-        return_intermediate=True)
+        return_intermediate=True, stride=spec.stride_size)
 
 
 def clipreid_text_features(params, spec: ClipReIDSpec, labels) -> jnp.ndarray:

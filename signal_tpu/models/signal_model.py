@@ -235,12 +235,15 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             outs = [vit_forward_prompt(
                 params["base"], params["prompt"], imgs[:, m], cv, name,
                 num_heads=spec.num_heads, compute_dtype=spec.cdtype,
-                use_flash=spec.use_flash)
+                use_flash=spec.use_flash, stride=spec.stride_size)
                 for m, name in enumerate(("rgb", "nir", "tir"))]
             patches = jnp.stack([o[0] for o in outs], axis=1)
             cls = jnp.stack([o[1] for o in outs], axis=1)
             return patches, cls, None
-        cv3 = jnp.tile(cv, (3, 1)) if cv is not None else None
+        # rows of x are sample-major — (b0,RGB),(b0,NI),(b0,TI),(b1,RGB),… —
+        # so per-row conditioning must REPEAT each sample's embedding ×3
+        # (tile would hand most samples another sample's camera)
+        cv3 = jnp.repeat(cv, 3, axis=0) if cv is not None else None
         patches, cls = vit_mod.vit_forward(
             params["base"], x, cv3,
             num_heads=spec.num_heads,
@@ -248,6 +251,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             use_flash=spec.use_flash,
             remat=spec.remat,
             remat_policy=spec.remat_policy,
+            stride=spec.stride_size,
         )
     elif spec.backbone == "resnet":
         from signal_tpu.models.resnet import resnet50_forward
@@ -258,18 +262,19 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
     elif spec.backbone == "t2t":
         from signal_tpu.models.t2t import t2t_forward
 
-        cams = jnp.tile(cam_label, (3,)) if cam_label is not None else None
+        cams = jnp.repeat(cam_label, 3) if cam_label is not None else None
         patches, cls = t2t_forward(
             params["base"], x, cams,
             sie_xishu=spec.sie_coe,
             num_heads=spec.num_heads,
             compute_dtype=spec.cdtype,
+            remat=spec.remat,
         )
     else:
         from signal_tpu.models.vit_imagenet import imagenet_vit_forward
 
-        cams = jnp.tile(cam_label, (3,)) if cam_label is not None else None
-        views = jnp.tile(view_label, (3,)) if view_label is not None else None
+        cams = jnp.repeat(cam_label, 3) if cam_label is not None else None
+        views = jnp.repeat(view_label, 3) if view_label is not None else None
         patches, cls = imagenet_vit_forward(
             params["base"], x, cams, views,
             camera_num=spec.camera_num if spec.sie_camera else 0,
@@ -282,6 +287,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             compute_dtype=spec.cdtype,
             use_flash=spec.use_flash,
             qk_scale=spec.qk_scale,
+            remat=spec.remat,
         )
     L, D = patches.shape[1], patches.shape[2]
     patches = patches.reshape(B, 3, L, D)

@@ -124,8 +124,8 @@ def init_t2t_params(key, *, img_size: Tuple[int, int], embed_dim: int = 384,
 
 def t2t_forward(params, images: jnp.ndarray, cam_label=None, *,
                 sie_xishu: float = 1.0, num_heads: int = 6,
-                compute_dtype=jnp.bfloat16, token_dim: int = 64
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                compute_dtype=jnp.bfloat16, token_dim: int = 64,
+                remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """images [B, 3, H, W] → (patch tokens [B, L, D], cls [B, D])."""
     from signal_tpu.ops.attention import mha
 
@@ -165,6 +165,8 @@ def t2t_forward(params, images: jnp.ndarray, cam_label=None, *,
         m = linear(lp["mlp"]["proj_kernel"], lp["mlp"]["proj_bias"], m, cdt)
         return carry + m, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = layer_norm(params["norm"], x, eps=1e-6)
     return x[:, 1:], x[:, 0]

@@ -148,8 +148,13 @@ def vit_forward(
     return_intermediate: bool = False,
     remat: bool = True,
     remat_policy: str = "full",
+    stride: int | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """images [B, 3, H, W] → (patch_tokens [B, L, out], cls [B, out]).
+
+    ``stride``: patch-embed conv stride (MODEL.STRIDE_SIZE; the reference
+    supports overlapping patches, `clip/model.py:433`). Defaults to the
+    patch size (non-overlapping).
 
     ``cv_emb`` [B, width]: SIE camera embedding added to the CLS token only
     (reference `clip/model.py:454-456`).
@@ -161,6 +166,7 @@ def vit_forward(
     B = images.shape[0]
     kernel = params["conv1"]["kernel"]
     patch = kernel.shape[0]
+    stride = stride or patch
     compute_dtype = jnp.dtype(compute_dtype)
     # bf16 in/out (fp32 accumulation happens inside the MXU); avoid
     # preferred_element_type here — its conv-transpose grad rule rejects
@@ -168,7 +174,7 @@ def vit_forward(
     x = jax.lax.conv_general_dilated(
         images.astype(compute_dtype),
         kernel.astype(compute_dtype),
-        window_strides=(patch, patch),
+        window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
     ).astype(jnp.float32)  # [B, width, h, w]

@@ -119,6 +119,7 @@ def imagenet_vit_forward(
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
     qk_scale: Optional[float] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """images [B, 3, H, W] → (patch_tokens [B, L, width], cls [B, width])."""
     B = images.shape[0]
@@ -175,7 +176,13 @@ def imagenet_vit_forward(
                   for i in range(n_layers)]
     for i, lp in enumerate(layer_list):
         key_i = jax.random.fold_in(rng, i) if rng is not None else None
-        x = block(i, x, lp, key_i)
+        if remat:
+            # same memory/recompute trade as the CLIP tower: without it the
+            # 12-block activations exceed v5e HBM at the reference batch
+            x = jax.checkpoint(
+                lambda lp, x, k, i=i: block(i, x, lp, k))(lp, x, key_i)
+        else:
+            x = block(i, x, lp, key_i)
 
     x = layer_norm(params["norm"], x, eps=1e-6)
     return x[:, 1:], x[:, 0]

@@ -102,16 +102,18 @@ def prompt_block(params, prompt_params, i: int, x: jnp.ndarray,
 
 def vit_forward_prompt(params, prompt_params, images: jnp.ndarray,
                        cv_emb, modality: str, *, num_heads: int = 12,
-                       compute_dtype=jnp.bfloat16, use_flash: bool = False
+                       compute_dtype=jnp.bfloat16, use_flash: bool = False,
+                       stride: int | None = None,
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prompted single-modality forward → (patches, cls) like vit_forward."""
     B = images.shape[0]
     kernel = params["conv1"]["kernel"]
     patch = kernel.shape[0]
+    stride = stride or patch
     cdt = jnp.dtype(compute_dtype)
     x = jax.lax.conv_general_dilated(
         images.astype(cdt), kernel.astype(cdt),
-        window_strides=(patch, patch), padding="VALID",
+        window_strides=(stride, stride), padding="VALID",
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
     ).astype(jnp.float32)
     width = x.shape[1]

@@ -70,6 +70,10 @@ def param_shardings(params, mesh: Mesh):
     def rec(node, path):
         if isinstance(node, dict):
             return {k: rec(v, f"{path}.{k}" if path else k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            # e.g. the resnet backbone's per-stage block lists
+            out = [rec(v, f"{path}.{i}") for i, v in enumerate(node)]
+            return type(node)(out) if isinstance(node, tuple) else out
         return NamedSharding(mesh, _spec_for(path, node))
 
     return rec(params, "")

@@ -133,19 +133,27 @@ def adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    decoupled_wd: bool = False,
 ) -> Tuple[Any, AdamState]:
-    """One Adam step. Leaf lr = lr_a + lr_b·base_lr (host-computed scalars)."""
+    """One Adam step. Leaf lr = lr_a + lr_b·base_lr (host-computed scalars).
+    ``decoupled_wd``: torch AdamW semantics (decay applied to the params
+    directly, scaled by lr) instead of L2-into-gradient (torch Adam)."""
     step = state.step + 1
     bc1 = 1.0 - b1 ** step.astype(jnp.float32)
     bc2 = 1.0 - b2 ** step.astype(jnp.float32)
 
     def upd(g, m, v, p, base, wd, tr):
-        g = g.astype(jnp.float32) + wd * p.astype(jnp.float32)  # torch L2 decay
+        p32 = p.astype(jnp.float32)
+        g = g.astype(jnp.float32)
+        if not decoupled_wd:
+            g = g + wd * p32                       # torch Adam L2 decay
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * g * g
         lr = lr_a + lr_b * base
-        newp = p.astype(jnp.float32) - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-        newp = jnp.where(tr, newp, p.astype(jnp.float32))
+        newp = p32 - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        if decoupled_wd:
+            newp = newp - lr * wd * p32            # torch AdamW
+        newp = jnp.where(tr, newp, p32)
         return newp.astype(p.dtype), m, v
 
     flat = jax.tree.map(upd, grads, state.mu, state.nu, params,

@@ -38,7 +38,9 @@ class ExecutionTracer:
                 self._events.append(
                     f"{'  ' * self._depth}→ {code.co_name}  ({rel}:{frame.f_lineno})")
                 self._depth += 1
-                return self._trace if self.mode == "lines" else self._trace
+                # local tracing must stay on even in 'calls' mode: the
+                # 'return' events it delivers drive the depth bookkeeping
+                return self._trace
             return None
         if event == "return" and self._in_project(frame):
             self._depth = max(0, self._depth - 1)

@@ -73,26 +73,17 @@ def input_saliency(forward_fn, imgs: Dict, target_fn=None) -> Dict[str, np.ndarr
 def das_offset_field(das_params, patches_grid: np.ndarray,
                      stride: int = 4, offset_range_factor: float = 2.0) -> np.ndarray:
     """[B, C, H, W] grid → sampled positions [B, Hk, Wk, 2] (x, y) in
-    normalized coords — the arrows of `zablation/offestvisual.py`."""
-    import jax
+    normalized coords — the arrows of `zablation/offestvisual.py`.
+    Thin wrapper over the model's own offset computation, so the plot
+    always depicts exactly what `das_forward` samples."""
     import jax.numpy as jnp
 
-    from signal_tpu.models.align import das_reference_points
-    from signal_tpu.models.align import _conv
+    from signal_tpu.models.align import das_sample_positions
 
-    x = jnp.asarray(patches_grid, jnp.float32)
-    q = _conv(x, das_params["proj_q"]["kernel"], das_params["proj_q"]["bias"])
-    h = jax.nn.gelu(_conv(q, das_params["off_conv1"]["kernel"],
-                          das_params["off_conv1"]["bias"]), approximate=False)
-    h = jax.nn.gelu(_conv(h, das_params["off_dw"]["kernel"],
-                          das_params["off_dw"]["bias"], stride=stride,
-                          groups=x.shape[1]), approximate=False)
-    off = _conv(h, das_params["off_out"]["kernel"])
-    hk, wk = off.shape[2], off.shape[3]
-    rng = jnp.array([1.0 / max(hk - 1.0, 1.0), 1.0 / max(wk - 1.0, 1.0)])
-    off = jnp.tanh(off) * rng[None, :, None, None] * offset_range_factor
-    pos = jnp.clip(off.transpose(0, 2, 3, 1) + das_reference_points(hk, wk)[None],
-                   -1.0, 1.0)
+    pos = das_sample_positions(das_params,
+                               jnp.asarray(patches_grid, jnp.float32),
+                               stride=stride,
+                               offset_range_factor=offset_range_factor)
     return np.asarray(pos[..., ::-1])  # (x, y)
 
 

@@ -118,3 +118,19 @@ def test_bn_state_updates_in_training():
     _, new_bn = forward_train(params, bn, imgs, cam, spec)
     assert not np.allclose(np.asarray(new_bn["bottleneck"]["mean"]),
                            np.asarray(bn["bottleneck"]["mean"]))
+
+
+def test_mixed_camera_batch_matches_per_sample():
+    """Regression: the batched [B*3] encoder must give every row ITS OWN
+    sample's SIE embedding (a tile-vs-repeat bug once conditioned most
+    samples on another sample's camera)."""
+    spec = tiny_spec(use_a=False, use_b=False, camera_num=3)
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    imgs, _ = tiny_batch(spec, B=3)
+    cams = jnp.asarray([0, 1, 2])
+    full = forward_eval(params, bn, imgs, cams, spec)
+    for b in range(3):
+        one = {m: v[b:b + 1] for m, v in imgs.items()}
+        single = forward_eval(params, bn, one, cams[b:b + 1], spec)
+        np.testing.assert_allclose(np.asarray(full[b]), np.asarray(single[0]),
+                                   rtol=2e-5, atol=2e-5)

@@ -153,3 +153,29 @@ def test_adam_respects_frozen_mask():
                                 lr_a=jnp.float32(0.0), lr_b=jnp.float32(1.0))
     assert not np.allclose(np.asarray(new_params["w"]), 1.0)
     np.testing.assert_array_equal(np.asarray(new_params["frozen"]), 1.0)
+
+
+def test_adamw_matches_torch():
+    """Two steps of our decoupled-decay mode vs torch.optim.AdamW."""
+    rng = np.random.default_rng(4)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    lr, wd = 1e-3, 1e-2
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.AdamW([{"params": [tw], "lr": lr, "weight_decay": wd}])
+
+    params = {"w": jnp.asarray(w0)}
+    state = adam_init(params)
+    trees = ({"w": lr}, {"w": wd}, {"w": True})
+
+    for step in range(2):
+        g = rng.standard_normal((4, 3)).astype(np.float32)
+        opt.zero_grad()
+        tw.grad = torch.tensor(g.copy())
+        opt.step()
+        params, state = adam_update(
+            {"w": jnp.asarray(g)}, state, params,
+            base_lr_tree=trees[0], wd_tree=trees[1], trainable_tree=trees[2],
+            lr_a=jnp.float32(0.0), lr_b=jnp.float32(1.0), decoupled_wd=True)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
