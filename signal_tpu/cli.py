@@ -37,6 +37,12 @@ def train_main(argv=None):
 
     import jax
 
+    if cfg.MODEL.DIST_TRAIN:
+        # multi-host: the reference's `dist.init_process_group('nccl',
+        # init_method='env://')` (`train.py:46-48`) becomes single-controller
+        # JAX over ICI/DCN — coordinator/rank/size read from the standard env
+        jax.distributed.initialize()
+
     from signal_tpu.data import make_dataloader
     from signal_tpu.engine.train import do_train
     from signal_tpu.models.signal_model import ModelSpec
@@ -48,8 +54,12 @@ def train_main(argv=None):
     logger.info("JAX devices: %s", jax.devices())
     logger.info("Running with config:\n%s", cfg.dump())
 
+    # per-host slice of the global PK order (replaces the reference's
+    # gloo-synced DDP sampler — every host derives the same order from the
+    # shared seed and takes its block deterministically)
     (train_loader, train_loader_normal, val_loader,
-     num_query, num_classes, camera_num, view_num) = make_dataloader(cfg)
+     num_query, num_classes, camera_num, view_num) = make_dataloader(
+        cfg, num_shards=jax.process_count(), shard_index=jax.process_index())
     logger.info("dataset: %s classes=%d cams=%d views=%d query=%d",
                 cfg.DATASETS.NAMES, num_classes, camera_num, view_num, num_query)
 

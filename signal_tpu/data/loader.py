@@ -30,12 +30,19 @@ PACKED_CROPS = ((0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128))
 
 
 def _synthetic_image(token: str, size_hw: Tuple[int, int]) -> Image.Image:
-    """Deterministic pseudo-image for 'synth:pid:i:m' records."""
+    """Deterministic pseudo-image for 'synth:pid:i:m' records: a
+    pid+modality-specific base pattern mixed with per-instance noise, so
+    retrieval on held-out instances is actually learnable (pure
+    per-instance noise would make query/gallery unmatchable)."""
     _, pid, i, m = token.split(":")
-    rng = np.random.default_rng(abs(hash((int(pid), int(i), int(m)))) % (2 ** 31))
     h, w = size_hw
-    base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-    return Image.fromarray(base)
+    rng_id = np.random.default_rng(abs(hash((int(pid), int(m)))) % (2 ** 31))
+    base = rng_id.integers(0, 255, (h, w, 3)).astype(np.float32)
+    rng_inst = np.random.default_rng(
+        abs(hash((int(pid), int(i), int(m)))) % (2 ** 31))
+    noise = rng_inst.integers(0, 255, (h, w, 3)).astype(np.float32)
+    img = np.clip(0.7 * base + 0.3 * noise, 0, 255).astype(np.uint8)
+    return Image.fromarray(img)
 
 
 def read_modalities(paths, size_hint=(128, 64)) -> List[Image.Image]:
