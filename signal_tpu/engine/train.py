@@ -156,6 +156,9 @@ def do_train(
         for p, t in zip(jax.tree.leaves(params), jax.tree.leaves(group_trees[2])) if t)
     logger.info("number of parameters: %.6fM (trainable %.6fM)",
                 n_total / 1e6, n_train / 1e6)
+    # devices arrays once — feeding hundreds of Python scalars into the
+    # jitted step every iteration costs tiny H2D transfers per step
+    group_trees = jax.tree.map(jnp.asarray, group_trees)
     use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
     opt_state = (jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
                  if use_sgd else adam_init(params))
@@ -184,12 +187,16 @@ def do_train(
     if resume_from:
         from signal_tpu.utils.checkpoint import load_checkpoint
 
-        tree = load_checkpoint(resume_from, {
-            "params": state.params, "bn_state": state.bn_state,
-            "opt_state": state.opt_state, "epoch": 0})
+        template = {"params": state.params, "bn_state": state.bn_state,
+                    "opt_state": state.opt_state, "epoch": 0}
+        if centers is not None:
+            template["centers"] = centers
+        tree = load_checkpoint(resume_from, template)
         state.params = tree["params"]
         state.bn_state = tree["bn_state"]
         state.opt_state = tree["opt_state"]
+        if centers is not None and "centers" in tree:
+            state.centers = tree["centers"]
         start_epoch = int(tree["epoch"]) + 1
         logger.info("Resumed from %s at epoch %d", resume_from, start_epoch)
 
@@ -247,7 +254,7 @@ def do_train(
 
         if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and val_loader is not None:
             mAP, cmc = _neat_eval(cfg, spec, state, val_loader, evaluator, epoch,
-                                  eval_step=eval_step)
+                                  eval_step=eval_step, mesh=mesh)
             if mAP >= best["mAP"]:
                 best.update({"mAP": mAP, "Rank-1": cmc[0], "Rank-5": cmc[4],
                              "Rank-10": cmc[9]})
@@ -260,13 +267,14 @@ def do_train(
     return state
 
 
-def _neat_eval(cfg, spec, state, val_loader, evaluator, epoch, eval_step=None):
+def _neat_eval(cfg, spec, state, val_loader, evaluator, epoch, eval_step=None,
+               mesh=None):
     """In-training eval (`training_neat_eval`, `processor.py:454-539`)."""
     from signal_tpu.engine.eval import extract_features
 
     evaluator.reset()
     extract_features(spec, state.params, state.bn_state, val_loader, evaluator,
-                     eval_step=eval_step)
+                     eval_step=eval_step, mesh=mesh)
     cmc, mAP, *_ = evaluator.compute()
     logger.info("Validation Results - Epoch: %d", epoch)
     logger.info("mAP: %.1f%%", 100 * mAP)
@@ -283,4 +291,6 @@ def _save_checkpoint(path: str, state: TrainState, epoch: int = 0,
     if full:
         tree["opt_state"] = state.opt_state
         tree["epoch"] = epoch
+        if state.centers is not None:
+            tree["centers"] = state.centers  # center-loss class centers
     save_checkpoint(path, tree)

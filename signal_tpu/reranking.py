@@ -14,8 +14,11 @@ boolean matrix algebra over [N, N] masks (N = num_query + num_gallery ≈
 * Jaccard: min-sum between query rows and all rows, computed in blocks
   (min(a,b) = (a+b−|a−b|)/2 keeps it on the VPU with streaming blocks).
 
-Note: the reference accumulates V/Jaccard in fp16 numpy; we keep fp32 —
-strictly more accurate, ranking-compatible.
+Note: the reference accumulates V/Jaccard in fp16 numpy; we keep fp32.
+This is strictly more accurate but NOT bit-identical — near-tied
+neighbours can order differently than the reference's fp16 output, so
+re-ranked CMC/mAP may differ from the reference by small deltas (the
+un-re-ranked protocol matches bit-for-bit).
 """
 
 from __future__ import annotations
@@ -71,8 +74,8 @@ def _re_ranking_core(original_dist: jnp.ndarray, num_query: int,
 
     dq = d[:num_query]
 
-    # Jaccard in query blocks: minsum(i, j) = Σ_k min(Vq[i,k], V[j,k])
-    rowsum = jnp.sum(V, axis=1)                    # [N]
+    # Jaccard in query blocks: minsum(i, j) = Σ_k min(Vq[i,k], V[j,k]);
+    # V rows are L1-normalized so jaccard = minsum / (2 − minsum)
 
     def block_fn(vq_block):
         # vq_block [B, N]; min-sum against all rows of V

@@ -36,18 +36,17 @@ import numpy as np
 # Param groups
 # --------------------------------------------------------------------------
 
-def _leaf_paths(tree) -> Dict[str, Any]:
-    flat = {}
-
-    def rec(node, path):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                rec(v, path + (k,))
-        else:
-            flat[".".join(str(p) for p in path)] = node
-
-    rec(tree, ())
-    return flat
+def _map_with_paths(tree, fn, path=()):
+    """Rebuild ``tree``'s container structure (dicts AND lists — e.g. the
+    resnet backbone's per-stage block lists) with fn('.'-joined path) at
+    each leaf position."""
+    if isinstance(tree, dict):
+        return {k: _map_with_paths(v, fn, path + (k,)) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        out = [_map_with_paths(v, fn, path + (str(i),))
+               for i, v in enumerate(tree)]
+        return type(tree)(out) if isinstance(tree, tuple) else out
+    return fn(".".join(path))
 
 
 def build_param_groups(params, cfg) -> Tuple[Any, Any, Any]:
@@ -82,26 +81,12 @@ def build_param_groups(params, cfg) -> Tuple[Any, Any, Any]:
             trainable = False
         return lr, wd, trainable
 
-    paths = _leaf_paths(params)
-    lr_map = {p: rules(p)[0] for p in paths}
-    wd_map = {p: rules(p)[1] for p in paths}
-    tr_map = {p: rules(p)[2] for p in paths}
-
-    def unflatten(m):
-        out: Dict[str, Any] = {}
-        for path, v in m.items():
-            node = out
-            parts = path.split(".")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = v
-        return out
-
-    to_tree = lambda m: jax.tree.map(  # noqa: E731
-        lambda leaf, val: val, params, unflatten(m),
-    )
-    # unflatten() already mirrors params' structure; tree.map re-validates it
-    return unflatten(lr_map), unflatten(wd_map), unflatten(tr_map)
+    lr_tree = _map_with_paths(params, lambda p: rules(p)[0])
+    wd_tree = _map_with_paths(params, lambda p: rules(p)[1])
+    tr_tree = _map_with_paths(params, lambda p: rules(p)[2])
+    # structural sanity: the group trees must mirror params exactly
+    jax.tree.map(lambda a, b: None, params, lr_tree)
+    return lr_tree, wd_tree, tr_tree
 
 
 # --------------------------------------------------------------------------

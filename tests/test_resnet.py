@@ -159,3 +159,24 @@ def test_signal_model_with_resnet_backbone():
         np.asarray(new_bn["base"]["stem"]["bn"]["mean"]))
     feat = forward_eval(params, bn, imgs, cams, spec)
     assert feat.shape == (2, 6 * 2048)
+
+
+def test_resnet_param_groups_and_adam_step():
+    """Regression: list-valued param nodes (resnet stages) must flow
+    through build_param_groups and the optimizer update."""
+    from signal_tpu.solver import adam_init, adam_update, build_param_groups
+
+    cfg = Config()
+    cfg.MODEL.TRANSFORMER_TYPE = "resnet50"
+    params, _ = init_resnet50_params(jax.random.PRNGKey(0))
+    params = {"base": params,
+              "classifier": {"kernel": jnp.zeros((2048, 5))}}
+    lr_tree, wd_tree, tr_tree = build_param_groups(params, cfg)
+    assert isinstance(lr_tree["base"]["layer1"], list)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = adam_init(params)
+    new_params, _ = adam_update(
+        grads, state, params, base_lr_tree=lr_tree, wd_tree=wd_tree,
+        trainable_tree=tr_tree, lr_a=jnp.float32(0.0), lr_b=jnp.float32(1.0))
+    moved = np.asarray(new_params["base"]["layer1"][0]["conv1"])
+    assert not np.allclose(moved, np.asarray(params["base"]["layer1"][0]["conv1"]))
