@@ -81,7 +81,13 @@ def load_clip_into_params(params: Dict[str, Any], path: str, spec) -> Dict[str, 
     """Replace params['base'] with converted CLIP visual weights."""
     sd = _torch_state_dict(path)
     new = dict(params)
-    new["base"] = clip_visual_to_vit_params(sd, spec.h, spec.w, spec.layers)
+    base = clip_visual_to_vit_params(sd, spec.h, spec.w, spec.layers)
+    # CLIP archives have no adapter weights — keep the freshly-initialized
+    # MambaPro adapters (MODEL.ADAPTER) instead of silently dropping them
+    old_blocks = params.get("base", {}).get("blocks", {})
+    if "adapter" in old_blocks:
+        base["blocks"]["adapter"] = old_blocks["adapter"]
+    new["base"] = base
     return new
 
 

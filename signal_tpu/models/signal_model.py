@@ -43,8 +43,10 @@ class ModelSpec:
     num_heads: int = 12
     patch_size: int = 16
     stride_size: int = 16
-    h: int = 16                  # patch-grid height  (SIZE_TRAIN[0] / 16)
-    w: int = 8                   # patch-grid width   (SIZE_TRAIN[1] / 16)
+    h: int = 16                  # patch-grid height ((img_h − 16)/stride + 1)
+    w: int = 8                   # patch-grid width
+    img_h: int = 0               # input image size (0 ⇒ h·stride, w·stride)
+    img_w: int = 0
     direct: bool = True
     use_a: bool = True
     use_b: bool = True
@@ -68,8 +70,11 @@ class ModelSpec:
     @classmethod
     def from_config(cls, cfg, num_classes: int, camera_num: int,
                     view_num: int = 0) -> "ModelSpec":
-        h = cfg.INPUT.SIZE_TRAIN[0] // cfg.MODEL.STRIDE_SIZE[0]
-        w = cfg.INPUT.SIZE_TRAIN[1] // cfg.MODEL.STRIDE_SIZE[1]
+        # conv-output grid (patch 16, stride may overlap) — the reference's
+        # formula (`make_model_clipreid.py:84`); == SIZE//16 when stride=16
+        h = (cfg.INPUT.SIZE_TRAIN[0] - 16) // cfg.MODEL.STRIDE_SIZE[0] + 1
+        w = (cfg.INPUT.SIZE_TRAIN[1] - 16) // cfg.MODEL.STRIDE_SIZE[1] + 1
+        img_h, img_w = int(cfg.INPUT.SIZE_TRAIN[0]), int(cfg.INPUT.SIZE_TRAIN[1])
         keep_ratio = cfg.MODEL.KEEP_RATIO if cfg.MODEL.FIXED_KEEP_RATIO else None
         ttype = cfg.MODEL.TRANSFORMER_TYPE
         layers, width, heads = 12, 768, 12
@@ -110,6 +115,8 @@ class ModelSpec:
             stride_size=int(cfg.MODEL.STRIDE_SIZE[0]),
             h=h,
             w=w,
+            img_h=img_h,
+            img_w=img_w,
             direct=bool(cfg.MODEL.DIRECT),
             use_a=bool(cfg.MODEL.USE_A),
             use_b=bool(cfg.MODEL.USE_B),
@@ -134,6 +141,17 @@ class ModelSpec:
     @property
     def cdtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def image_size(self) -> Tuple[int, int]:
+        """True input size. Only trusted when consistent with the h×w grid
+        (specs rebuilt via dataclasses.replace shrink h/w without touching
+        img_h/img_w); otherwise reconstruct from the non-overlapping grid."""
+        if self.img_h and \
+                (self.img_h - 16) // self.stride_size + 1 == self.h and \
+                (self.img_w - 16) // self.stride_size + 1 == self.w:
+            return (self.img_h, self.img_w)
+        return (self.h * self.stride_size, self.w * self.stride_size)
 
     @property
     def eval_feat_dim(self) -> int:
@@ -168,7 +186,7 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
 
         params["base"] = init_t2t_params(
             ks[0],
-            img_size=(spec.h * spec.stride_size, spec.w * spec.stride_size),
+            img_size=spec.image_size,
             embed_dim=spec.width,
             depth=spec.layers,
             camera_num=spec.camera_num if spec.sie_camera else 0,
@@ -182,7 +200,7 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
 
         params["base"] = init_imagenet_vit_params(
             ks[0],
-            img_size=(spec.h * spec.stride_size, spec.w * spec.stride_size),
+            img_size=spec.image_size,
             patch_size=spec.patch_size,
             stride_size=spec.stride_size,
             width=spec.width,

@@ -137,6 +137,38 @@ def init_adapter_params(key, width: int, dtype=jnp.float32):
     }
 
 
+def embed_patches(params, images: jnp.ndarray, cv_emb=None, *,
+                  stride: int | None = None,
+                  compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """CLIP-tower preamble: conv patch embed → CLS (+SIE) → pos embed →
+    ln_pre. Returns [B, 1+L, width] fp32. Shared by the plain and the
+    MambaPro-prompted forwards."""
+    B = images.shape[0]
+    kernel = params["conv1"]["kernel"]
+    patch = kernel.shape[0]
+    stride = stride or patch
+    compute_dtype = jnp.dtype(compute_dtype)
+    # bf16 in/out (fp32 accumulation happens inside the MXU); avoid
+    # preferred_element_type here — its conv-transpose grad rule rejects
+    # mixed bf16/fp32 operands.
+    x = jax.lax.conv_general_dilated(
+        images.astype(compute_dtype),
+        kernel.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    ).astype(jnp.float32)  # [B, width, h, w]
+    width = x.shape[1]
+    x = x.reshape(B, width, -1).transpose(0, 2, 1)  # [B, L, width]
+
+    cls_tok = jnp.broadcast_to(params["class_embedding"].astype(jnp.float32), (B, 1, width))
+    if cv_emb is not None:
+        cls_tok = cls_tok + cv_emb[:, None, :].astype(jnp.float32)
+    x = jnp.concatenate([cls_tok, x], axis=1)
+    x = x + params["positional_embedding"].astype(jnp.float32)[None]
+    return layer_norm(params["ln_pre"], x)
+
+
 def vit_forward(
     params,
     images: jnp.ndarray,
@@ -163,30 +195,9 @@ def vit_forward(
     (x after layer 11 [B, L+1, width], ln_post output [B, L+1, width],
     projected [B, L+1, out]).
     """
-    B = images.shape[0]
-    kernel = params["conv1"]["kernel"]
-    patch = kernel.shape[0]
-    stride = stride or patch
     compute_dtype = jnp.dtype(compute_dtype)
-    # bf16 in/out (fp32 accumulation happens inside the MXU); avoid
-    # preferred_element_type here — its conv-transpose grad rule rejects
-    # mixed bf16/fp32 operands.
-    x = jax.lax.conv_general_dilated(
-        images.astype(compute_dtype),
-        kernel.astype(compute_dtype),
-        window_strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
-    ).astype(jnp.float32)  # [B, width, h, w]
-    width = x.shape[1]
-    x = x.reshape(B, width, -1).transpose(0, 2, 1)  # [B, L, width]
-
-    cls_tok = jnp.broadcast_to(params["class_embedding"].astype(jnp.float32), (B, 1, width))
-    if cv_emb is not None:
-        cls_tok = cls_tok + cv_emb[:, None, :].astype(jnp.float32)
-    x = jnp.concatenate([cls_tok, x], axis=1)
-    x = x + params["positional_embedding"].astype(jnp.float32)[None]
-    x = layer_norm(params["ln_pre"], x)
+    x = embed_patches(params, images, cv_emb, stride=stride,
+                      compute_dtype=compute_dtype)
     # the residual stream rides in the compute dtype between blocks (the
     # reference's autocast keeps it fp16); LN still normalizes in fp32
     x = x.astype(compute_dtype)

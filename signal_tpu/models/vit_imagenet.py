@@ -85,7 +85,8 @@ def init_imagenet_vit_params(
                 keys[0], (patch_size, patch_size, 3, width), dtype),
             "bias": jnp.zeros((width,), dtype),
         },
-        "cls_token": jnp.zeros((width,), dtype),
+        # trunc_normal(0.02) like the reference (`vit_pytorch.py:390`)
+        "cls_token": trunc_normal(keys[4], (width,), 0.02, dtype),
         "pos_embed": trunc_normal(keys[1], (n_tokens, width), 0.02, dtype),
         "blocks": stacked,
         "norm": init_layer_norm(width, dtype),

@@ -91,7 +91,9 @@ def prompt_block(params, prompt_params, i: int, x: jnp.ndarray,
     else:
         groups = [cross("prompt_rgb", "adp_r"), cross("prompt_nir", "adp_n"), own]
 
-    seq = jnp.concatenate([x] + groups, axis=1)
+    # keep the residual stream's dtype (bf16 in production) — the fp32
+    # prompt tokens would otherwise promote the whole sequence
+    seq = jnp.concatenate([x] + [g.astype(x.dtype) for g in groups], axis=1)
     layer_params = jax.tree.map(lambda a: a[i], params["blocks"])
     seq = _block(layer_params, seq, num_heads=num_heads,
                  compute_dtype=compute_dtype, use_flash=use_flash)
@@ -106,32 +108,24 @@ def vit_forward_prompt(params, prompt_params, images: jnp.ndarray,
                        stride: int | None = None,
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prompted single-modality forward → (patches, cls) like vit_forward."""
-    B = images.shape[0]
-    kernel = params["conv1"]["kernel"]
-    patch = kernel.shape[0]
-    stride = stride or patch
+    from signal_tpu.models.vit import embed_patches
+
     cdt = jnp.dtype(compute_dtype)
-    x = jax.lax.conv_general_dilated(
-        images.astype(cdt), kernel.astype(cdt),
-        window_strides=(stride, stride), padding="VALID",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
-    ).astype(jnp.float32)
-    width = x.shape[1]
-    x = x.reshape(B, width, -1).transpose(0, 2, 1)
-    cls_tok = jnp.broadcast_to(params["class_embedding"].astype(jnp.float32),
-                               (B, 1, width))
-    if cv_emb is not None:
-        cls_tok = cls_tok + cv_emb[:, None, :].astype(jnp.float32)
-    x = jnp.concatenate([cls_tok, x], axis=1)
-    x = x + params["positional_embedding"].astype(jnp.float32)[None]
-    x = layer_norm(params["ln_pre"], x)
+    x = embed_patches(params, images, cv_emb, stride=stride, compute_dtype=cdt)
+    # bf16 residual stream + per-block remat, same regime as vit_forward
+    # (three per-modality prompted streams would otherwise OOM in training)
+    x = x.astype(cdt)
 
     n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
     last = None
+    step = jax.checkpoint(
+        lambda x, last, i: prompt_block(params, prompt_params, i, x, last,
+                                        modality, num_heads=num_heads,
+                                        compute_dtype=cdt,
+                                        use_flash=use_flash),
+        static_argnums=(2,))
     for i in range(n_layers):
-        x, last = prompt_block(params, prompt_params, i, x, last, modality,
-                               num_heads=num_heads, compute_dtype=cdt,
-                               use_flash=use_flash)
+        x, last = step(x, last, i)
 
     x = layer_norm(params["ln_post"], x)
     x = jnp.dot(x.astype(cdt), params["proj"].astype(cdt),

@@ -130,11 +130,15 @@ def mha(
 
 
 def init_mha(key, dim: int, dtype=jnp.float32):
-    """Init matching nn.MultiheadAttention: xavier-uniform in_proj, zeros bias."""
+    """Init matching nn.MultiheadAttention's `_reset_parameters`:
+    xavier-uniform over the PACKED [3D, D] in_proj (fan = D + 3D), zero
+    biases; out_proj keeps torch Linear's kaiming-uniform
+    (bound = 1/√fan_in) with its bias zeroed."""
     k1, k2 = jax.random.split(key)
-    bound = math.sqrt(6.0 / (dim + dim))
-    qkv = jax.random.uniform(k1, (dim, 3 * dim), dtype, -bound, bound)
-    out = jax.random.uniform(k2, (dim, dim), dtype, -bound, bound)
+    in_bound = math.sqrt(6.0 / (dim + 3 * dim))
+    qkv = jax.random.uniform(k1, (dim, 3 * dim), dtype, -in_bound, in_bound)
+    out_bound = 1.0 / math.sqrt(dim)
+    out = jax.random.uniform(k2, (dim, dim), dtype, -out_bound, out_bound)
     return {
         "qkv_kernel": qkv,
         "qkv_bias": jnp.zeros((3 * dim,), dtype),

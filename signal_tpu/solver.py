@@ -74,6 +74,11 @@ def build_param_groups(params, cfg) -> Tuple[Any, Any, Any]:
         # leaves its grad None so it neither updates nor decays.
         if "W_v" in path:
             trainable = False
+        # the T2T sinusoid table is a frozen buffer in the reference
+        # (`t2t.py:130-131`, requires_grad=False)
+        if cfg.MODEL.TRANSFORMER_TYPE.startswith("t2t") and \
+                path == "base.pos_embed":
+            trainable = False
         # MODEL.FROZEN: backbone frozen except LoRA/adapter params
         # (`meta_arch.py:66-78`, `LoRA.py:307`)
         if cfg.MODEL.FROZEN and path.startswith("base") and \
