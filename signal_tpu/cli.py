@@ -69,7 +69,8 @@ def train_main(argv=None):
     if len(jax.devices()) > 1:
         from signal_tpu.parallel.mesh import create_mesh
 
-        mesh = create_mesh(num_model=cfg.PARALLEL.MODEL_AXIS)
+        mesh = create_mesh(num_data=cfg.PARALLEL.DATA_AXIS,
+                           num_model=cfg.PARALLEL.MODEL_AXIS)
         logger.info("mesh: %s", mesh)
 
     do_train(cfg, spec, train_loader, val_loader, num_query, num_classes,
@@ -110,10 +111,20 @@ def test_main(argv=None):
             params, bn_state = load_reference_signal_checkpoint(params, bn_state, weight, spec)
             logger.info("Loaded torch reference checkpoint %s", weight)
         else:
-            from signal_tpu.utils.checkpoint import load_checkpoint
+            # subset restore: periodic snapshots also hold opt_state/epoch
+            from signal_tpu.utils.checkpoint import load_checkpoint_subset
 
-            tree = load_checkpoint(weight, {"params": params, "bn_state": bn_state})
+            tree = load_checkpoint_subset(weight, ("params", "bn_state"))
             params, bn_state = tree["params"], tree["bn_state"]
             logger.info("Loaded orbax checkpoint %s", weight)
 
-    do_inference(cfg, spec, params, bn_state, val_loader, num_query)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from signal_tpu.parallel.mesh import create_mesh, shard_params
+
+        mesh = create_mesh(num_data=cfg.PARALLEL.DATA_AXIS,
+                           num_model=cfg.PARALLEL.MODEL_AXIS)
+        params = shard_params(params, mesh)
+        logger.info("mesh: %s", mesh)
+
+    do_inference(cfg, spec, params, bn_state, val_loader, num_query, mesh=mesh)

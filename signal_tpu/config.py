@@ -135,9 +135,8 @@ class TestConfig:
 @dataclass
 class ParallelConfig:
     """TPU mesh layout (no reference equivalent; replaces NCCL DDP)."""
-    DATA_AXIS: int = -1   # -1: all devices on the data axis
+    DATA_AXIS: int = -1   # -1: remaining devices on the data axis
     MODEL_AXIS: int = 1   # tensor-parallel degree over attention heads/MLP
-    MESH_AXES: Tuple[str, str] = ("data", "model")
 
 
 @dataclass
@@ -184,10 +183,28 @@ class Config:
 def _coerce(value: Any, old: Any) -> Any:
     if isinstance(value, str):
         try:
-            value = ast.literal_eval(value)
+            ev = ast.literal_eval(value)
         except (ValueError, SyntaxError):
-            pass
-    if isinstance(old, tuple) and isinstance(value, (list, tuple)):
+            ev = value
+        if isinstance(old, str):
+            # "('RGBNT201')"-style strings appear in the reference YAMLs;
+            # unwrap only if the literal is itself a string (never turn a
+            # str knob into a number/bool)
+            value = ev if isinstance(ev, str) else value
+        else:
+            value = ev
+    if isinstance(old, str) and isinstance(value, bool):
+        # unquoted YAML yes/on parses as bool — the yes/no & on/off knobs
+        # (FEAT_NORM, RE_RANKING, IF_LABELSMOOTH) compare against strings,
+        # so a silent bool would permanently disable them
+        raise ValueError(
+            f"got YAML bool {value!r} for a string knob (quote it: "
+            f"'yes'/'no'/'on'/'off')")
+    if isinstance(old, tuple):
+        if not isinstance(value, (list, tuple)):
+            raise ValueError(
+                f"expected a list for this knob, got {value!r} "
+                f"(e.g. [16, 16], not a bare scalar)")
         return tuple(value)
     if isinstance(old, bool) and isinstance(value, str):
         return value.lower() in ("true", "1", "yes", "on")

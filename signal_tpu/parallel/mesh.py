@@ -85,11 +85,24 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Place a batch on the mesh, batch dim over 'data'.
+
+    Single-host: a plain device_put with the NamedSharding. Multi-host:
+    each process holds only ITS loader shard, so the local array must be
+    assembled into the global array via
+    ``jax.make_array_from_process_local_data`` — device_put'ing the local
+    shard with a global sharding would silently treat it as the whole
+    global batch."""
     sh = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sh)
-        return x
+        if not (hasattr(x, "ndim") and x.ndim >= 1):
+            return x
+        if multihost:
+            import numpy as _np
+
+            return jax.make_array_from_process_local_data(sh, _np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)

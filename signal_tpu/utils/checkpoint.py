@@ -30,3 +30,15 @@ def load_checkpoint(path: str, target: Dict[str, Any] | None = None) -> Dict[str
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target)
+
+
+def load_checkpoint_subset(path: str, keys) -> Dict[str, Any]:
+    """Restore only ``keys`` from a checkpoint that may hold a superset —
+    e.g. evaluating a periodic training snapshot (params + bn_state +
+    opt_state + epoch [+ centers]) where only the model state is wanted.
+    A strict target restore would fail on the extra entries."""
+    full = load_checkpoint(path, None)
+    missing = [k for k in keys if k not in full]
+    if missing:
+        raise KeyError(f"checkpoint {path} lacks {missing}; has {list(full)}")
+    return {k: full[k] for k in keys}

@@ -26,13 +26,15 @@ def cost_analysis(fn: Callable, *args) -> Dict[str, float]:
 
 
 def model_flops(spec, params, bn_state, batch_size: int = 1) -> float:
-    """GFLOPs of one Signal eval forward (mirrors `Signal.flops()`)."""
+    """FLOPs (raw, not giga) of one Signal eval forward per XLA's own
+    accounting (mirrors `Signal.flops()`). NOTE: under-reports through
+    Pallas custom calls."""
     import jax.numpy as jnp
 
     from signal_tpu.models.signal_model import forward_eval
 
-    imgs = {m: jnp.zeros((batch_size, 3, spec.h * spec.stride_size,
-                          spec.w * spec.stride_size), jnp.float32)
+    ih, iw = spec.image_size
+    imgs = {m: jnp.zeros((batch_size, 3, ih, iw), jnp.float32)
             for m in ("RGB", "NI", "TI")}
     cam = jnp.zeros((batch_size,), jnp.int32)
     costs = cost_analysis(

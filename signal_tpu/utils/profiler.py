@@ -27,15 +27,17 @@ def trace(log_dir: str):
 
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median wall seconds per call, synchronized on device completion."""
+    """Median wall seconds per call, synchronized on device completion.
+
+    Sync is a host fetch (`jax.device_get`), not `block_until_ready` —
+    the latter can return before device work completes on remote-TPU
+    transports (see bench.py's checksum-fetch pattern)."""
     times = []
-    out = None
     for i in range(warmup + iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree.map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-            out)
+        jax.device_get(jax.tree.map(
+            lambda x: x.ravel()[0] if hasattr(x, "ravel") else x, out))
         if i >= warmup:
             times.append(time.perf_counter() - t0)
     times.sort()

@@ -41,7 +41,9 @@ def overlay_mask(image_chw: np.ndarray, mask_hw: np.ndarray, alpha: float = 0.5)
     img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
     H, W = img.shape[:2]
     gh, gw = mask_hw.shape
-    up = np.kron(mask_hw, np.ones((H // gh, W // gw)))
+    # ceil factors so non-divisible image/grid pairs (overlap strides)
+    # still cover the image, then crop
+    up = np.kron(mask_hw, np.ones((-(-H // gh), -(-W // gw))))
     up = up[:H, :W, None]
     out = img * (alpha + (1 - alpha) * up)
     return (255 * out).clip(0, 255).astype(np.uint8)

@@ -232,3 +232,28 @@ def test_config_opts_override():
     assert cfg.MODEL.USE_A is False
     assert cfg.SOLVER.BASE_LR == 0.001
     assert cfg.MODEL.STRIDE_SIZE == (8, 8)
+
+
+def test_config_rejects_bool_for_string_knob():
+    cfg = Config()
+    # CLI strings stay strings on a str knob (yacs-like)
+    cfg.merge_from_list(["TEST.FEAT_NORM", "yes"])
+    assert cfg.TEST.FEAT_NORM == "yes"
+    # unquoted YAML `yes` parses to a bool — must error, not silently
+    # disable the knob
+    with _pytest_raises(ValueError):
+        from signal_tpu.config import _merge_tree
+        _merge_tree(cfg, {"TEST": {"RE_RANKING": True}})
+
+
+def test_config_rejects_scalar_for_tuple_knob():
+    cfg = Config()
+    with _pytest_raises(ValueError):
+        cfg.merge_from_list(["MODEL.STRIDE_SIZE", "12"])
+    cfg.merge_from_list(["MODEL.STRIDE_SIZE", "[12, 12]"])
+    assert cfg.MODEL.STRIDE_SIZE == (12, 12)
+
+
+def _pytest_raises(exc):
+    import pytest as _p
+    return _p.raises(exc)

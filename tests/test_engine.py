@@ -96,3 +96,17 @@ def test_do_inference_with_reranking(tmp_path):
     params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
     cmc, mAP = do_inference(cfg, spec, params, bn, val_loader, num_query)
     assert 0.0 <= mAP <= 1.0
+
+
+def test_checkpoint_subset_restore(tmp_path):
+    """Evaluating a FULL training snapshot must not require opt_state."""
+    from signal_tpu.utils.checkpoint import load_checkpoint_subset, save_checkpoint
+    import jax.numpy as jnp
+
+    tree = {"params": {"w": jnp.ones((2, 2))}, "bn_state": {"m": jnp.zeros(2)},
+            "opt_state": {"mu": jnp.zeros((2, 2))}, "epoch": 7}
+    path = str(tmp_path / "snap")
+    save_checkpoint(path, tree)
+    sub = load_checkpoint_subset(path, ("params", "bn_state"))
+    assert set(sub) == {"params", "bn_state"}
+    np.testing.assert_array_equal(np.asarray(sub["params"]["w"]), 1.0)
