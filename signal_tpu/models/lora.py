@@ -22,7 +22,10 @@ def init_lora_factors(key, params: Dict[str, Any], *, rank: int = 8,
                       target_suffixes=("qkv_kernel", "fc_kernel", "proj_kernel",
                                        "out_kernel")) -> Dict[str, Any]:
     """Build a LoRA tree mirroring ``params`` with {'A','B'} at each
-    adapted 2-D (or stacked 3-D) kernel leaf; other leaves → None.
+    adapted 2-D (or stacked 3-D) kernel leaf. Non-adapted subtrees are
+    PRUNED (not None-padded) so the result is a clean pytree of only the
+    adapter factors — it plugs into the optimizer/sharding machinery as
+    ``params['lora']`` without structure-mismatch special cases.
 
     A: kaiming-uniform init; B: zeros (adapter starts as identity),
     matching the reference's LoRA_Linear.reset_parameters (`LoRA.py`).
@@ -32,8 +35,10 @@ def init_lora_factors(key, params: Dict[str, Any], *, rank: int = 8,
         if isinstance(node, dict):
             out = {}
             for i, (name, child) in enumerate(node.items()):
-                out[name] = rec(child, f"{path}.{name}", jax.random.fold_in(k, i))
-            return out
+                sub = rec(child, f"{path}.{name}", jax.random.fold_in(k, i))
+                if sub is not None:
+                    out[name] = sub
+            return out or None
         if any(path.endswith(suf) for suf in target_suffixes) and node.ndim >= 2:
             *lead, din, dout = node.shape
             bound = 1.0 / max(din, 1) ** 0.5
@@ -42,7 +47,7 @@ def init_lora_factors(key, params: Dict[str, Any], *, rank: int = 8,
             return {"lora_A": a, "lora_B": b, "lora_scale": jnp.asarray(alpha / rank)}
         return None
 
-    return rec(params, "", key)
+    return rec(params, "", key) or {}
 
 
 def apply_lora(params: Dict[str, Any], lora: Dict[str, Any]) -> Dict[str, Any]:

@@ -63,6 +63,8 @@ class ModelSpec:
     qk_scale: Optional[float] = None  # imagenet tower qk-scale override
     adapter: bool = False        # MODEL.ADAPTER (MambaPro parallel adapter)
     prompt: bool = False         # MODEL.PROMPT (MambaPro prompt tokens)
+    frozen: bool = False         # MODEL.FROZEN (backbone frozen, LoRA trains)
+    lora_rank: int = 8           # LoRA rank r (alpha fixed at 2r)
     remat: bool = True           # per-block rematerialization (backward)
     remat_policy: str = "full"   # 'full' | 'dots' (save matmul outputs)
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
@@ -133,6 +135,7 @@ class ModelSpec:
             drop_path=float(cfg.MODEL.DROP_PATH),
             adapter=bool(cfg.MODEL.ADAPTER),
             prompt=bool(cfg.MODEL.PROMPT),
+            frozen=bool(cfg.MODEL.FROZEN),
             remat=bool(getattr(cfg.MODEL, "REMAT", True)),
             remat_policy=str(getattr(cfg.MODEL, "REMAT_POLICY", "full")),
             miss=str(cfg.TEST.MISS),
@@ -179,8 +182,19 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
             from signal_tpu.models.vit_prompt import init_prompt_params
 
             params["prompt"] = init_prompt_params(ks[9], spec.width, spec.layers)
-        if spec.sie_camera:
+        # SIE slots (`meta_arch.py:79-92`): cam×view when both flags are
+        # set, else camera-only, else view-only. Quirks preserved exactly:
+        # the forward always indexes by cam_label alone and only applies
+        # the embedding when SIE_CAMERA (`cv_embed_sign`, meta_arch.py:41,
+        # 101-103) — so the cam×view rows beyond camera_num and the whole
+        # view-only table are allocated-but-unreached, as in the reference.
+        if spec.sie_camera and spec.sie_view and spec.view_num:
+            params["cv_embed"] = trunc_normal(
+                ks[1], (spec.camera_num * spec.view_num, spec.width), 0.02)
+        elif spec.sie_camera:
             params["cv_embed"] = trunc_normal(ks[1], (spec.camera_num, spec.width), 0.02)
+        elif spec.sie_view and spec.view_num:
+            params["cv_embed"] = trunc_normal(ks[1], (spec.view_num, spec.width), 0.02)
     elif spec.backbone == "t2t":
         from signal_tpu.models.t2t import init_t2t_params
 
@@ -230,6 +244,17 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
     if spec.use_b:
         params["AlignM"] = init_align_params(ks[8], spec.feat_dim)
 
+    if spec.frozen and spec.backbone != "resnet":
+        # MODEL.FROZEN: the reference freezes the backbone and trains only
+        # its low-rank adapters (`meta_arch.py:66-78` → LoRA.py:307
+        # `mark_only_lora_as_trainable`). Functional equivalent: a parallel
+        # factor tree merged into the frozen base weights at encode time.
+        from signal_tpu.models.lora import init_lora_factors
+
+        params["lora"] = init_lora_factors(
+            ks[10], params["base"],
+            rank=spec.lora_rank, alpha=2.0 * spec.lora_rank)
+
     return params, bn_state
 
 
@@ -241,6 +266,13 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
     B = imgs.shape[0]
     new_base = None
     x = imgs.reshape(B * 3, *imgs.shape[2:])
+    base = params["base"]
+    if spec.frozen and "lora" in params:
+        # merged weights W + A·B·scale; grads flow only to the factors
+        # (base leaves are masked in solver.build_param_groups)
+        from signal_tpu.models.lora import apply_lora
+
+        base = apply_lora(base, params["lora"])
     if spec.backbone == "clip":
         cv = None
         if spec.sie_camera and cam_label is not None:
@@ -251,7 +283,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             from signal_tpu.models.vit_prompt import vit_forward_prompt
 
             outs = [vit_forward_prompt(
-                params["base"], params["prompt"], imgs[:, m], cv, name,
+                base, params["prompt"], imgs[:, m], cv, name,
                 num_heads=spec.num_heads, compute_dtype=spec.cdtype,
                 use_flash=spec.use_flash, stride=spec.stride_size)
                 for m, name in enumerate(("rgb", "nir", "tir"))]
@@ -263,7 +295,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
         # (tile would hand most samples another sample's camera)
         cv3 = jnp.repeat(cv, 3, axis=0) if cv is not None else None
         patches, cls = vit_mod.vit_forward(
-            params["base"], x, cv3,
+            base, x, cv3,
             num_heads=spec.num_heads,
             compute_dtype=spec.cdtype,
             use_flash=spec.use_flash,
@@ -275,14 +307,14 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
         from signal_tpu.models.resnet import resnet50_forward
 
         patches, cls, new_base = resnet50_forward(
-            params["base"], base_state, x,
+            base, base_state, x,
             training=training, compute_dtype=spec.cdtype)
     elif spec.backbone == "t2t":
         from signal_tpu.models.t2t import t2t_forward
 
         cams = jnp.repeat(cam_label, 3) if cam_label is not None else None
         patches, cls = t2t_forward(
-            params["base"], x, cams,
+            base, x, cams,
             sie_xishu=spec.sie_coe,
             num_heads=spec.num_heads,
             compute_dtype=spec.cdtype,
@@ -294,7 +326,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
         cams = jnp.repeat(cam_label, 3) if cam_label is not None else None
         views = jnp.repeat(view_label, 3) if view_label is not None else None
         patches, cls = imagenet_vit_forward(
-            params["base"], x, cams, views,
+            base, x, cams, views,
             camera_num=spec.camera_num if spec.sie_camera else 0,
             view_num=spec.view_num,
             sie_xishu=spec.sie_coe,

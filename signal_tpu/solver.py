@@ -80,9 +80,14 @@ def build_param_groups(params, cfg) -> Tuple[Any, Any, Any]:
                 path == "base.pos_embed":
             trainable = False
         # MODEL.FROZEN: backbone frozen except LoRA/adapter params
-        # (`meta_arch.py:66-78`, `LoRA.py:307`)
+        # (`meta_arch.py:66-78`, `LoRA.py:307`); the LoRA factor tree
+        # lives at params['lora'] and trains at BASE_LR (the 5e-6 CLIP
+        # pin only applies when NOT frozen, `make_optimizer.py:15-19`)
         if cfg.MODEL.FROZEN and path.startswith("base") and \
                 "adapter" not in path and "lora" not in path:
+            trainable = False
+        # alpha/r is a constant of the adapter, never optimized
+        if path.endswith("lora_scale"):
             trainable = False
         return lr, wd, trainable
 
