@@ -89,6 +89,9 @@ def test_main(argv=None):
 
     import jax
 
+    if cfg.MODEL.DIST_TRAIN:
+        jax.distributed.initialize()
+
     from signal_tpu.data import make_dataloader
     from signal_tpu.engine.eval import do_inference
     from signal_tpu.models.signal_model import ModelSpec, init_signal_params
@@ -99,7 +102,8 @@ def test_main(argv=None):
     logger = setup_logger("signal_tpu", out_dir, if_train=False)
 
     (_, _, val_loader, num_query, num_classes, camera_num,
-     view_num) = make_dataloader(cfg)
+     view_num) = make_dataloader(cfg, num_shards=jax.process_count(),
+                                 shard_index=jax.process_index())
     spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
     params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
 

@@ -85,6 +85,11 @@ class DataloaderConfig:
     NUM_WORKERS: int = 6
     SAMPLER: str = "softmax_triplet"
     NUM_INSTANCE: int = 8
+    # run flip/pad+crop/erase on device inside the jitted train step
+    # (host does decode+bicubic-resize+normalize only — native C++ on jpg
+    # batches). Same augmentation distribution as the reference's
+    # torchvision pipeline; set False for the host-side TrainTransform.
+    DEVICE_AUGMENT: bool = True
 
 
 @dataclass
@@ -130,6 +135,9 @@ class TestConfig:
     FEAT_NORM: str = "yes"
     MISS: str = "None"
     FEAT: int = 0
+    # MSVR310 rank-list dump destination (the reference always writes
+    # `re.txt` to the cwd, `utils/metrics.py:38,71-78`; here it is opt-in)
+    RANK_DUMP: str = ""
 
 
 @dataclass

@@ -23,7 +23,7 @@ import numpy as np
 from PIL import Image
 
 from signal_tpu.data.datasets import ReIDDataset, build_dataset
-from signal_tpu.data.sampler import RandomIdentitySampler
+from signal_tpu.data.sampler import RandomIdentitySampler, shard_indices
 from signal_tpu.data.transforms import TrainTransform, ValTransform
 
 PACKED_CROPS = ((0, 0, 256, 128), (256, 0, 512, 128), (512, 0, 768, 128))
@@ -65,7 +65,7 @@ class _BatchLoader:
     def __init__(self, dataset_records, transform, batch_size: int,
                  index_source, *, drop_last: bool, seed: int,
                  num_threads: int = 4, include_paths: bool = False,
-                 num_samples_hint: Optional[int] = None):
+                 num_samples_hint: Optional[int] = None, key_offset: int = 0):
         self.records = dataset_records
         self.transform = transform
         self.batch_size = batch_size
@@ -75,6 +75,12 @@ class _BatchLoader:
         self.num_threads = max(1, num_threads)
         self.include_paths = include_paths
         self.num_samples_hint = num_samples_hint
+        # multi-host: augmentation randomness is a pure function of
+        # (seed, epoch, batch, GLOBAL row) — a host's shard draws exactly
+        # what the unsharded run would draw for those rows, so sharded and
+        # single-host training are bit-identical (no reference equivalent:
+        # torchvision draws fresh per-worker randomness)
+        self.key_offset = key_offset
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -92,11 +98,10 @@ class _BatchLoader:
         return arrs, pid, camid, trackid, name
 
     def _native_eligible(self, batch_idx) -> bool:
-        """Whole-batch C++ decode applies to the deterministic val
-        transform over on-disk jpgs (3-file tuples or packed singles)."""
-        from signal_tpu.data.transforms import ValTransform
-
-        if not isinstance(self.transform, ValTransform):
+        """Whole-batch C++ decode applies to deterministic decode+resize
+        transforms (val bilinear; train bicubic when augmentation runs on
+        device) over on-disk jpgs (3-file tuples or packed singles)."""
+        if not hasattr(self.transform, "native_filter"):
             return False
         from signal_tpu.data import native_decoder
 
@@ -114,13 +119,15 @@ class _BatchLoader:
         paths0 = [r[0] for r in records]
         h, w = self.transform.size
         mean, std = self.transform.mean, self.transform.std
+        filt = self.transform.native_filter
         if isinstance(paths0[0], str):
             arrs = native_decoder.decode_batch_packed(
-                paths0, h, w, mean, std, self.num_threads)      # [B, 3m, 3c, H, W]
+                paths0, h, w, mean, std, self.num_threads,
+                filter=filt)                                    # [B, 3m, 3c, H, W]
         else:
             flat = [q for p in paths0 for q in p]
             dec = native_decoder.decode_batch(flat, h, w, mean, std,
-                                              self.num_threads)
+                                              self.num_threads, filter=filt)
             arrs = dec.reshape(len(records), 3, 3, h, w)
         batch = {
             "imgs": {"RGB": arrs[:, 0], "NI": arrs[:, 1], "TI": arrs[:, 2]},
@@ -158,7 +165,8 @@ class _BatchLoader:
                     native = True
                 else:
                     keys = [int(np.random.SeedSequence(
-                                (self.seed, self._epoch, bi, j)).generate_state(1)[0])
+                                (self.seed, self._epoch, bi,
+                                 self.key_offset + j)).generate_state(1)[0])
                             for j in range(len(batch_idx))]
                     futs = [pool.submit(self._load_one, idx, k)
                             for idx, k in zip(batch_idx, keys)]
@@ -189,6 +197,53 @@ class _BatchLoader:
         return batch
 
 
+class _ShardedValLoader:
+    """Multi-host val loader: every host decodes ONLY its row-slice of each
+    GLOBAL batch (rows [shard·mini, (shard+1)·mini) of batch j), so
+    ``parallel.mesh.shard_batch``'s process-local contract holds at eval
+    exactly as it does in training. Global metadata (pids/camids/…, true
+    valid count) rides along in ``batch['global']`` because the evaluator
+    sees all-gathered GLOBAL features, not the local shard.
+
+    Replaces the reference's rank-0-only eval under DDP
+    (`engine/processor.py:311-327`) with a fully sharded eval pass."""
+
+    def __init__(self, records, transform, global_bs: int, num_shards: int,
+                 shard: int, seed: int, num_threads: int):
+        assert global_bs % num_shards == 0, (
+            f"TEST.IMS_PER_BATCH={global_bs} not divisible by {num_shards} hosts")
+        n = len(records)
+        pad = (-n) % global_bs
+        self._padded = list(range(n)) + [n - 1] * pad  # repeat last record
+        self.records = records
+        self.num_valid = n
+        self.global_bs = global_bs
+        mini = global_bs // num_shards
+        local_idx = shard_indices(self._padded, num_shards, shard, global_bs)
+        self._inner = _BatchLoader(
+            records, transform, mini, lambda: list(local_idx),
+            drop_last=True, seed=seed, num_threads=num_threads,
+            include_paths=True)
+
+    def __len__(self) -> int:
+        return len(self._padded) // self.global_bs
+
+    def __iter__(self) -> Iterator[Dict]:
+        for j, batch in enumerate(self._inner):
+            rows = self._padded[j * self.global_bs:(j + 1) * self.global_bs]
+            recs = [self.records[i] for i in rows]
+            remaining = self.num_valid - j * self.global_bs
+            batch["global"] = {
+                "pids": np.asarray([r[1] for r in recs], np.int64),
+                "camids": np.asarray([r[2] for r in recs], np.int64),
+                "trackids": np.asarray([r[3] for r in recs], np.int64),
+                "names": [(r[0] if isinstance(r[0], str) else r[0][0])
+                          .split("/")[-1] for r in recs],
+                "valid": min(self.global_bs, remaining),
+            }
+            yield batch
+
+
 def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None,
                     num_shards: int = 1, shard_index: int = 0):
     """→ (train_loader, train_loader_normal, val_loader, num_query,
@@ -202,8 +257,20 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None,
     if dataset is None:
         dataset = build_dataset(cfg.DATASETS.NAMES, cfg.DATASETS.ROOT_DIR)
 
-    train_tf = TrainTransform(cfg.INPUT.SIZE_TRAIN, cfg.INPUT.PROB, cfg.INPUT.RE_PROB,
-                              cfg.INPUT.PADDING, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+    # device-side augmentation: decode+bicubic-resize+normalize on the host
+    # (native C++ for jpg batches), flip/pad+crop/erase fused into the
+    # jitted train step (`signal_tpu.data.augment`). Falls back to the full
+    # host-side TrainTransform when disabled.
+    device_augment = bool(getattr(cfg.DATALOADER, "DEVICE_AUGMENT", False))
+    if device_augment:
+        from signal_tpu.data.transforms import RawTrainDecode
+
+        train_tf = RawTrainDecode(cfg.INPUT.SIZE_TRAIN, cfg.INPUT.PIXEL_MEAN,
+                                  cfg.INPUT.PIXEL_STD)
+    else:
+        train_tf = TrainTransform(cfg.INPUT.SIZE_TRAIN, cfg.INPUT.PROB,
+                                  cfg.INPUT.RE_PROB, cfg.INPUT.PADDING,
+                                  cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
     val_tf = ValTransform(cfg.INPUT.SIZE_TEST, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
 
     sampler = RandomIdentitySampler(dataset.train, cfg.SOLVER.IMS_PER_BATCH,
@@ -226,7 +293,10 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None,
     train_loader = _BatchLoader(
         dataset.train, train_tf, local_bs,
         index_source, drop_last=True, seed=cfg.SOLVER.SEED,
-        num_threads=nthreads, num_samples_hint=hint)
+        num_threads=nthreads, num_samples_hint=hint,
+        key_offset=shard_index * local_bs)
+    # the engine reads this to fuse flip/crop/erase into the train step
+    train_loader.device_augment = device_augment
 
     train_loader_normal = _BatchLoader(
         dataset.train, val_tf, cfg.TEST.IMS_PER_BATCH,
@@ -234,10 +304,15 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None,
         seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True)
 
     val_records = dataset.query + dataset.gallery
-    val_loader = _BatchLoader(
-        val_records, val_tf, cfg.TEST.IMS_PER_BATCH,
-        lambda: list(range(len(val_records))), drop_last=False,
-        seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True)
+    if num_shards > 1:
+        val_loader = _ShardedValLoader(
+            val_records, val_tf, cfg.TEST.IMS_PER_BATCH, num_shards,
+            shard_index, cfg.SOLVER.SEED, nthreads)
+    else:
+        val_loader = _BatchLoader(
+            val_records, val_tf, cfg.TEST.IMS_PER_BATCH,
+            lambda: list(range(len(val_records))), drop_last=False,
+            seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True)
 
     num_classes = dataset.num_train_pids
     cam_num = dataset.num_train_cams

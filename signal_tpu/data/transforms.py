@@ -93,6 +93,9 @@ class TrainTransform:
 
 
 class ValTransform:
+    # native-decoder filter matching this transform's resize
+    native_filter = "bilinear"
+
     def __init__(self, size: Tuple[int, int], mean, std):
         self.size = tuple(size)
         self.mean, self.std = mean, std
@@ -100,4 +103,22 @@ class ValTransform:
     def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
         # torchvision Resize default interpolation is bilinear (val path)
         img = resize(img, self.size, Image.BILINEAR)
+        return to_normalized_array(img, self.mean, self.std)
+
+
+class RawTrainDecode:
+    """Decode-only train transform: bicubic resize + normalize, NO
+    flip/crop/erase — those run on device (`signal_tpu.data.augment`),
+    fused into the jitted train step. The native C++ decoder handles
+    whole jpg batches on this path (filter='bicubic'); this __call__ is
+    the per-image fallback for non-jpg records (synthetic fixtures)."""
+
+    native_filter = "bicubic"
+
+    def __init__(self, size: Tuple[int, int], mean, std):
+        self.size = tuple(size)
+        self.mean, self.std = mean, std
+
+    def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
+        img = resize(img, self.size, Image.BICUBIC)
         return to_normalized_array(img, self.mean, self.std)

@@ -31,7 +31,12 @@ def make_eval_step(spec: ModelSpec):
 
 def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
                      mesh=None, eval_step=None):
-    """Stream batches through forward_eval, feeding the evaluator."""
+    """Stream batches through forward_eval, feeding the evaluator.
+
+    Multi-host: each host's loader shard carries the GLOBAL batch metadata
+    in ``batch['global']`` (see ``data.loader._ShardedValLoader``); the
+    global feature rows are all-gathered to every host so the evaluator
+    runs identically everywhere (deterministic — no broadcast needed)."""
     eval_step = eval_step or make_eval_step(spec)
     for batch in loader:
         imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
@@ -42,13 +47,22 @@ def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
             sharded = shard_batch({"imgs": imgs, "camids": camids}, mesh)
             imgs, camids = sharded["imgs"], sharded["camids"]
         feats = eval_step(params, bn_state, imgs, camids)
-        valid = batch.get("valid", feats.shape[0])
+        meta = batch.get("global")
+        if meta is not None:  # multi-host: gather the global feature rows
+            from jax.experimental import multihost_utils
+
+            feats_np = np.asarray(
+                multihost_utils.process_allgather(feats, tiled=True))
+        else:
+            meta = batch
+            feats_np = np.asarray(feats)
+        valid = meta.get("valid", feats_np.shape[0])
         evaluator.update(
-            np.asarray(feats)[:valid],
-            batch["pids"][:valid],
-            batch["camids"][:valid],
-            sceneid=batch["trackids"][:valid] if evaluator.scene_aware else None,
-            img_path=batch.get("names", [])[:valid] or None,
+            feats_np[:valid],
+            meta["pids"][:valid],
+            meta["camids"][:valid],
+            sceneid=meta["trackids"][:valid] if evaluator.scene_aware else None,
+            img_path=meta.get("names", [])[:valid] or None,
         )
 
 
@@ -61,6 +75,7 @@ def do_inference(cfg, spec: ModelSpec, params, bn_state, val_loader,
         feat_norm=cfg.TEST.FEAT_NORM == "yes",
         reranking=cfg.TEST.RE_RANKING == "yes",
         scene_aware=scene_aware,
+        rank_dump_path=cfg.TEST.RANK_DUMP or None,
     )
     extract_features(spec, params, bn_state, val_loader, evaluator, mesh=mesh)
     cmc, mAP, *_ = evaluator.compute()

@@ -98,21 +98,50 @@ def eval_func_msvr(distmat, q_pids, g_pids, q_camids, g_camids,
     return np.asarray(cmc), float(mAP)
 
 
+def dump_msvr_rank_lists(path: str, distmat, q_pids, g_pids, q_camids,
+                         g_camids, q_sceneids, g_sceneids, max_rank: int = 50):
+    """MSVR310 rank-list dump, reproducing the reference's `re.txt` format
+    (`utils/metrics.py:38,71-78`: one `{pid}_s{scene}_v{cam}:` header per
+    query followed by its kept top-`max_rank` gallery line) — but at a
+    caller-chosen path behind TEST.RANK_DUMP instead of a hardcoded cwd
+    file written unconditionally."""
+    distmat = np.asarray(distmat)
+    q_pids, g_pids = np.asarray(q_pids), np.asarray(g_pids)
+    q_camids, g_camids = np.asarray(q_camids), np.asarray(g_camids)
+    q_sceneids, g_sceneids = np.asarray(q_sceneids), np.asarray(g_sceneids)
+    order = np.argsort(distmat, axis=1)
+    with open(path, "w") as f:
+        f.write("rank list file\n")
+        for qi in range(distmat.shape[0]):
+            o = order[qi]
+            keep = ~((g_pids[o] == q_pids[qi]) & (g_sceneids[o] == q_sceneids[qi]))
+            f.write(f"{q_pids[qi]}_s{q_sceneids[qi]}_v{q_camids[qi]}:\n")
+            for vid, vsc, vcam in zip(g_pids[o][keep][:max_rank],
+                                      g_sceneids[o][keep][:max_rank],
+                                      g_camids[o][keep][:max_rank]):
+                f.write(f"{vid}_s{vsc}_v{vcam}  ")
+            f.write("\n")
+    return path
+
+
 class R1mAPEvaluator:
     """Feature accumulator + metric computation (reference `R1_mAP_eval` /
     `R1_mAP`, `metrics.py:173-300`) with everything after accumulation on
     device: normalize → distmat GEMM → vectorized CMC/mAP.
 
-    ``scene_aware=True`` selects the MSVR310 protocol.
+    ``scene_aware=True`` selects the MSVR310 protocol;
+    ``rank_dump_path`` additionally writes its `re.txt`-style rank lists.
     """
 
     def __init__(self, num_query: int, max_rank: int = 50, feat_norm: bool = True,
-                 reranking: bool = False, scene_aware: bool = False):
+                 reranking: bool = False, scene_aware: bool = False,
+                 rank_dump_path: Optional[str] = None):
         self.num_query = num_query
         self.max_rank = max_rank
         self.feat_norm = feat_norm
         self.reranking = reranking
         self.scene_aware = scene_aware
+        self.rank_dump_path = rank_dump_path
         self.reset()
 
     def reset(self):
@@ -157,6 +186,12 @@ class R1mAPEvaluator:
             g_sc = np.asarray(self.sceneids[self.num_query:])
             cmc, mAP = eval_func_msvr(distmat, q_pids, g_pids, q_camids,
                                       g_camids, q_sc, g_sc, self.max_rank)
+            if self.rank_dump_path and jax.process_index() == 0:
+                # single writer: under multi-host every process computes
+                # identical metrics from the all-gathered features
+                dump_msvr_rank_lists(self.rank_dump_path, distmat, q_pids,
+                                     g_pids, q_camids, g_camids, q_sc, g_sc,
+                                     self.max_rank)
         else:
             cmc, mAP = eval_func(distmat, q_pids, g_pids, q_camids, g_camids,
                                  self.max_rank)

@@ -15,12 +15,27 @@ import jax
 import numpy as np
 
 
+def _to_host(x):
+    """Device → host numpy; multi-host global arrays are all-gathered
+    (a collective — every process must reach this) so the single writer
+    below has the full value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def save_checkpoint(path: str, tree: Dict[str, Any]):
+    """Save. Multi-host: every process must call this (the gather below and
+    orbax's own sync points are collectives); orbax then writes host-local
+    numpy from the primary process only — the single-writer equivalent of
+    the reference's rank-gated DDP saves (`engine/processor.py:311-327`)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    host_tree = jax.tree.map(_to_host, tree)
     ckptr = ocp.StandardCheckpointer()
-    host_tree = jax.tree.map(np.asarray, tree)
     ckptr.save(path, host_tree, force=True)
     ckptr.wait_until_finished()
 

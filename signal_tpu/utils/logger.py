@@ -16,7 +16,9 @@ def setup_logger(name: str, save_dir: str, if_train: bool) -> logging.Logger:
     sh.setFormatter(fmt)
     logger.addHandler(sh)
 
-    if save_dir:
+    if save_dir and _process_index() == 0:
+        # single-writer under multi-host (the reference rank-gates its
+        # DDP-side logging/saves, `engine/processor.py:311-327`)
         os.makedirs(save_dir, exist_ok=True)
         fname = "train_log.txt" if if_train else "test_log.txt"
         fh = logging.FileHandler(os.path.join(save_dir, fname), mode="w")
@@ -24,3 +26,12 @@ def setup_logger(name: str, save_dir: str, if_train: bool) -> logging.Logger:
         fh.setFormatter(fmt)
         logger.addHandler(fh)
     return logger
+
+
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0

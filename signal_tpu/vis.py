@@ -108,6 +108,72 @@ def save_ranked_list(distmat: np.ndarray, query_paths: Sequence[str],
     return out
 
 
+def render_ranked_list_grids(distmat: np.ndarray, query_records,
+                             gallery_records, save_dir: str, topk: int = 10,
+                             num_queries: int = 10) -> List[str]:
+    """Per-query 3-modality image grids of the top-k gallery matches, with
+    green (same pid) / red (different pid) borders — the reference's
+    `visualize_ranked_list_results` + `plot_images`
+    (`utils/metrics.py:303-383`, `utils/ranklist_vehicle.py`).
+
+    ``*_records``: dataset record tuples (paths, pid, camid, trackid) —
+    the three modality crops are loaded exactly as the data pipeline loads
+    them (packed single jpg or 3-file tuple, `data/datasets/bases.py:18-22`).
+    Mirrors the reference's different-camera filter on the ranking.
+    Returns the written file paths ([] if matplotlib is unavailable).
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.patches as mpatches
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    from signal_tpu.data.loader import read_modalities
+
+    os.makedirs(save_dir, exist_ok=True)
+    g_pids = np.asarray([r[1] for r in gallery_records])
+    g_camids = np.asarray([r[2] for r in gallery_records])
+    modalities = ("RGB", "NIR", "TIR")
+    saved = []
+    for qi in range(min(num_queries, distmat.shape[0])):
+        q_paths, q_pid, q_camid, _ = query_records[qi]
+        order = np.argsort(distmat[qi])
+        order = [g for g in order if g_camids[g] != q_camid][:topk]
+        q_imgs = read_modalities(q_paths)
+        if len(q_imgs) == 1:  # synthetic single-modality fallback
+            q_imgs = q_imgs * 3
+
+        fig, axs = plt.subplots(3, len(order) + 1,
+                                figsize=(2 * (len(order) + 1), 8),
+                                squeeze=False)
+        for j, (img, mod) in enumerate(zip(q_imgs, modalities)):
+            axs[j][0].imshow(np.asarray(img))
+            axs[j][0].set_title(f"Query {mod}", fontsize=9)
+            axs[j][0].axis("off")
+        for rank, g in enumerate(order):
+            g_imgs = read_modalities(gallery_records[g][0])
+            if len(g_imgs) == 1:
+                g_imgs = g_imgs * 3
+            color = "green" if g_pids[g] == q_pid else "red"
+            for j, img in enumerate(g_imgs):
+                arr = np.asarray(img)
+                ax = axs[j][rank + 1]
+                ax.imshow(arr)
+                ax.axis("off")
+                ax.add_patch(mpatches.Rectangle(
+                    (0, 0), arr.shape[1], arr.shape[0], linewidth=4,
+                    edgecolor=color, facecolor="none"))
+                ax.set_title(f"Rank {rank + 1}", fontsize=9)
+        fig.tight_layout()
+        path = os.path.join(save_dir, f"query_{qi}_results.png")
+        fig.savefig(path)
+        plt.close(fig)
+        saved.append(path)
+    return saved
+
+
 def save_tsne_plot(feats: np.ndarray, labels: Sequence[int], save_path: str,
                    draw_labels: Optional[Sequence[int]] = None):
     """t-SNE scatter of selected identities (`metrics.py:387-411`)."""
