@@ -1,14 +1,15 @@
-"""Benchmark: 3-modal inference throughput of the full Signal model.
+"""Benchmark: 3-modal eval + train throughput of the full Signal model.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "train_samples_per_s": N, "train_vs_baseline": N, "train_mfu_pct": N,
+   "eval_mfu_pct": N, "device_kind": "..."}
 
-Baseline: the reference's eval pass over RGBNT201 query+gallery (≈4787
-3-modality samples in ~67 s end-to-end on its logged GPU run,
-`test_RNT201/test_log.txt`) ≈ 71 imgs/s; its A100 *train* throughput on
-the full model is 202 samples/s (BASELINE.md). We report eval-forward
-throughput per chip (batched 3-modal samples/s) against the 71 imgs/s
-eval baseline.
+Baselines (BASELINE.md): the reference's eval pass over RGBNT201
+query+gallery (≈4787 3-modality samples in ~67 s on its logged GPU run,
+`test_RNT201/test_log.txt`) ≈ 71 imgs/s; its full-model A100 *train*
+throughput is 202.2 samples/s at B=64. MFU uses XLA's own cost analysis
+plus the analytic Pallas-attention FLOPs (`signal_tpu/utils/flops.py`).
 """
 
 from __future__ import annotations
@@ -20,25 +21,23 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_EVAL_IMGS_PER_S = 4787 * 1.0 / 67.0  # ≈ 71.4 (3-modal samples/s)
+REFERENCE_TRAIN_SAMPLES_PER_S = 202.2          # A100-80GB, full model, B=64
 
 
-def main():
-    import sys
+def _retry(fn):
+    """One retry: the remote-TPU tunnel occasionally drops a first request
+    with a transient FAILED_PRECONDITION."""
+    for attempt in (0, 1):
+        try:
+            return fn()
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(5)
 
-    from signal_tpu.config import Config
-    from signal_tpu.models.signal_model import (
-        ModelSpec, forward_eval, init_signal_params)
 
-    cfg = Config()
-    cfg.MODEL.USE_A = True
-    cfg.MODEL.USE_B = True
-    cfg.MODEL.TOPK = 80
-    cfg.MODEL.SIE_COE = 1.0
-    if len(sys.argv) > 1:  # optional KEY VALUE overrides for A/B runs
-        cfg.merge_from_list(sys.argv[1:])
-
-    spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
-    params, bn_state = init_signal_params(jax.random.PRNGKey(0), spec)
+def bench_eval(cfg, spec, params, bn_state):
+    from signal_tpu.models.signal_model import forward_eval
 
     B = 128  # reference TEST.IMS_PER_BATCH for RGBNT201
     imgs = {m: jnp.asarray(
@@ -60,26 +59,180 @@ def main():
             return acc + jnp.sum(forward_eval(p, s, xi, c, spec))
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
-    # one retry: the remote-TPU tunnel occasionally drops a first request
-    # with a transient FAILED_PRECONDITION
-    for attempt in (0, 1):
-        try:
-            float(run_n(params, bn_state, imgs, cam))  # compile + warm
-            break
-        except Exception:
-            if attempt:
-                raise
-            time.sleep(5)
+    _retry(lambda: float(run_n(params, bn_state, imgs, cam)))  # compile+warm
     t0 = time.perf_counter()
     float(run_n(params, bn_state, imgs, cam))
     dt = time.perf_counter() - t0
+    return B * n_iters / dt, B
 
-    imgs_per_s = B * n_iters / dt
+
+def bench_train(cfg, spec, params, bn_state, num_classes: int):
+    from signal_tpu.engine.train import make_train_step
+    from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
+
+    group_trees = build_param_groups(params, cfg)
+    opt_state = adam_init(params)
+    train_step = make_train_step(spec, cfg, num_classes)
+
+    B = cfg.SOLVER.IMS_PER_BATCH
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "imgs": {m: jax.random.normal(jax.random.fold_in(rng, i),
+                                      (B, 3, 256, 128), jnp.float32)
+                 for i, m in enumerate(("RGB", "NI", "TI"))},
+        "pids": jnp.asarray(jax.random.randint(jax.random.fold_in(rng, 9),
+                                               (B,), 0, num_classes)),
+        "camids": jnp.zeros((B,), jnp.int32),
+    }
+    lr_a, lr_b = schedule_coeffs(cfg, 1)
+    la, lb = jnp.float32(lr_a), jnp.float32(lr_b)
+
+    def step(p, s, o):
+        return train_step(p, s, o, batch, la, lb, group_trees)
+
+    # compile + warm (train_step donates its inputs — rethread state)
+    params, bn_state, opt_state, loss, _, _ = _retry(
+        lambda: step(params, bn_state, opt_state))
+    float(loss)
+
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params, bn_state, opt_state, loss, _, _ = step(params, bn_state, opt_state)
+    float(loss)  # host fetch = sync point
+    dt = time.perf_counter() - t0
+    return B * n / dt, B, dt / n
+
+
+def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
+    """Loader→device end-to-end eval: on-disk jpgs → native C++ decode →
+    device forward. Host-bound when cores are scarce: one core decodes
+    ~190 3-modal samples/s (scripts/bench_pipeline.py), so feeding the
+    ~1310/s chip rate needs ≈7 decode cores (a v5e host has 112)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from signal_tpu.data.loader import _BatchLoader
+    from signal_tpu.data.transforms import ValTransform
+    from signal_tpu.engine.eval import make_eval_step
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="signal_e2e_bench_")
+    records = []
+    for i in range(n_samples):
+        paths = []
+        for m in range(3):
+            p = os.path.join(tmp, f"{i}_{m}.jpg")
+            Image.fromarray(rng.integers(0, 255, (256, 128, 3), dtype=np.uint8)
+                            ).save(p, quality=90)
+            paths.append(p)
+        records.append((tuple(paths), i, 0, -1))
+
+    B = 128
+    vt = ValTransform((256, 128), cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+    ncpu = os.cpu_count() or 1
+    loader = _BatchLoader(records, vt, B, lambda: list(range(n_samples)),
+                          drop_last=True, seed=0, num_threads=ncpu)
+    eval_step = make_eval_step(spec)
+
+    def run():
+        acc = None
+        count = 0
+        for batch in loader:
+            imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
+            cam = jnp.asarray(batch["camids"])
+            feats = eval_step(params, bn_state, imgs, cam)
+            acc = feats if acc is None else acc + feats  # keep device busy
+            count += feats.shape[0]
+        float(jnp.sum(acc))  # sync
+        return count
+
+    _retry(run)  # compile + warm page cache
+    t0 = time.perf_counter()
+    count = run()
+    dt = time.perf_counter() - t0
+    return count / dt, ncpu
+
+
+def main():
+    import sys
+
+    from signal_tpu.config import Config
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.utils.flops import (
+        cost_analysis, flash_attention_flops, model_flops, peak_flops_per_chip)
+
+    cfg = Config()
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = True
+    cfg.MODEL.TOPK = 80
+    cfg.MODEL.SIE_COE = 1.0
+    cfg.MODEL.stageName = "together_CLS_Patch"
+    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.BASE_LR = 3.5e-4
+    cfg.SOLVER.IMS_PER_BATCH = 64
+    if len(sys.argv) > 1:  # optional KEY VALUE overrides for A/B runs
+        cfg.merge_from_list(sys.argv[1:])
+    num_classes = 171
+
+    spec = ModelSpec.from_config(cfg, num_classes=num_classes, camera_num=4)
+    params, bn_state = init_signal_params(jax.random.PRNGKey(0), spec)
+
+    eval_rate, eval_B = bench_eval(cfg, spec, params, bn_state)
+    e2e_rate, host_cpus = bench_e2e_eval(cfg, spec, params, bn_state)
+    train_rate, train_B, step_s = bench_train(cfg, spec, params, bn_state,
+                                              num_classes)
+
+    peak = peak_flops_per_chip()
+    eval_flops = model_flops(spec, params, bn_state, batch_size=eval_B)
+    eval_mfu = 100.0 * eval_flops * (eval_rate / eval_B) / peak
+
+    # train-step FLOPs: XLA's count for the compiled step (covers fwd, the
+    # remat recompute, bwd, Adam) + the analytic Pallas-attention FLOPs
+    from signal_tpu.engine.train import make_train_step
+    from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
+
+    group_trees = jax.tree.map(jnp.asarray, build_param_groups(params, cfg))
+    train_step = make_train_step(spec, cfg, num_classes)
+    batch = {
+        "imgs": {m: jnp.zeros((train_B, 3, 256, 128), jnp.float32)
+                 for m in ("RGB", "NI", "TI")},
+        "pids": jnp.zeros((train_B,), jnp.int32),
+        "camids": jnp.zeros((train_B,), jnp.int32),
+    }
+    lr_a, lr_b = schedule_coeffs(cfg, 1)
+    costs = cost_analysis(
+        train_step, params, bn_state, adam_init(params), batch,
+        jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
+    train_flops = (float(costs.get("flops", 0.0))
+                   + flash_attention_flops(spec, train_B, train=True))
+    train_mfu = 100.0 * train_flops / step_s / peak
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
     print(json.dumps({
         "metric": "3modal_eval_imgs_per_s_per_chip",
-        "value": round(imgs_per_s, 2),
+        "value": round(eval_rate, 2),
         "unit": "samples/s",
-        "vs_baseline": round(imgs_per_s / REFERENCE_EVAL_IMGS_PER_S, 3),
+        "vs_baseline": round(eval_rate / REFERENCE_EVAL_IMGS_PER_S, 3),
+        "train_samples_per_s": round(train_rate, 2),
+        "train_vs_baseline": round(train_rate / REFERENCE_TRAIN_SAMPLES_PER_S, 3),
+        "train_mfu_pct": round(train_mfu, 2),
+        "eval_mfu_pct": round(eval_mfu, 2),
+        # loader→device pipeline (jpg decode in native C++): host-bound at
+        # ~190 samples/s/core, so matching the chip rate needs
+        # ceil(chip_rate / per-core rate) decode cores
+        "e2e_eval_samples_per_s": round(e2e_rate, 2),
+        "host_cpus": host_cpus,
+        "decode_cores_needed_for_chip_rate": round(
+            eval_rate / max(e2e_rate / host_cpus, 1e-9), 1),
+        "device_kind": kind,
     }))
 
 

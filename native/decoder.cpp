@@ -70,21 +70,36 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   return true;
 }
 
-// Separable triangle-filter resample — PIL's BILINEAR semantics, which
-// ANTIALIAS on downsample (filter support scales with 1/scale). The
-// reference eval transform is torchvision Resize → PIL, so exact feature
-// parity needs the same filter, not plain 2-tap bilinear.
+// Separable resample with PIL semantics (filters ANTIALIAS on downsample:
+// the support scales with 1/scale). filter 0 = triangle (PIL BILINEAR,
+// the reference eval transform), filter 1 = cubic a=-0.5 (PIL BICUBIC,
+// the reference TRAIN resize, `make_dataloader.py:186-188`). Exact
+// feature parity needs the same filters, not plain 2-tap bilinear.
 struct FilterTable {
   std::vector<float> weights;  // [out, kmax]
   std::vector<int> starts;     // [out]
   int kmax;
 };
 
-FilterTable build_triangle(int in_size, int out_size) {
+inline double triangle_kernel(double x) {
+  x = std::fabs(x);
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+inline double cubic_kernel(double x) {  // PIL BICUBIC: a = -0.5
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+FilterTable build_filter(int in_size, int out_size, int filter) {
   FilterTable t;
+  const double base_support = filter == 1 ? 2.0 : 1.0;
   const double scale = static_cast<double>(in_size) / out_size;
   const double fscale = scale < 1.0 ? 1.0 : scale;
-  const double support = 1.0 * fscale;
+  const double support = base_support * fscale;
   t.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
   t.weights.assign(static_cast<size_t>(out_size) * t.kmax, 0.f);
   t.starts.resize(out_size);
@@ -97,12 +112,12 @@ FilterTable build_triangle(int in_size, int out_size) {
     t.starts[o] = xmin;
     double total = 0.0;
     for (int x = xmin; x < xmax; ++x) {
-      double w = 1.0 - std::fabs((x - center + 0.5) / fscale);
-      if (w < 0) w = 0;
+      double arg = (x - center + 0.5) / fscale;
+      double w = filter == 1 ? cubic_kernel(arg) : triangle_kernel(arg);
       t.weights[static_cast<size_t>(o) * t.kmax + (x - xmin)] = static_cast<float>(w);
       total += w;
     }
-    if (total > 0) {
+    if (total != 0) {
       for (int k = 0; k < t.kmax; ++k)
         t.weights[static_cast<size_t>(o) * t.kmax + k] /= static_cast<float>(total);
     }
@@ -112,10 +127,10 @@ FilterTable build_triangle(int in_size, int out_size) {
 
 void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
                       int out_h, int out_w, const float* mean,
-                      const float* stdv, float* out) {
+                      const float* stdv, float* out, int filter) {
   const int crop_w = cx1 - cx0;
-  FilterTable fx = build_triangle(crop_w, out_w);
-  FilterTable fy = build_triangle(sh, out_h);
+  FilterTable fx = build_filter(crop_w, out_w, filter);
+  FilterTable fy = build_filter(sh, out_h, filter);
 
   // horizontal pass: [sh, out_w, 3]
   std::vector<float> tmp(static_cast<size_t>(sh) * out_w * 3);
@@ -156,8 +171,11 @@ void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
         acc[2] += wk * p[2];
       }
       for (int c = 0; c < 3; ++c) {
+        float v = acc[c];
+        if (v < 0.f) v = 0.f;            // PIL clips to uint8 after resample
+        if (v > 255.f) v = 255.f;
         out[c * plane + static_cast<size_t>(oy) * out_w + ox] =
-            (acc[c] / 255.0f - mean[c]) / stdv[c];
+            (v / 255.0f - mean[c]) / stdv[c];
       }
     }
   }
@@ -191,7 +209,7 @@ extern "C" {
 // Returns number of failures (0 = all good); failed slots are zero-filled.
 int signal_decode_batch(const char** paths, int n, int out_h, int out_w,
                         const float* mean, const float* stdv, float* out,
-                        int num_threads) {
+                        int num_threads, int filter) {
   std::atomic<int> failures(0);
   const size_t stride = static_cast<size_t>(3) * out_h * out_w;
   parallel_for(n, num_threads, [&](int i) {
@@ -203,7 +221,7 @@ int signal_decode_batch(const char** paths, int n, int out_h, int out_w,
       return;
     }
     resize_normalize(rgb.data(), w, h, 0, w, out_h, out_w, mean, stdv,
-                     out + i * stride);
+                     out + i * stride, filter);
   });
   return failures.load();
 }
@@ -213,7 +231,7 @@ int signal_decode_batch(const char** paths, int n, int out_h, int out_w,
 int signal_decode_batch_packed(const char** paths, int n, int out_h,
                                int out_w, const float* mean,
                                const float* stdv, float* out,
-                               int num_threads) {
+                               int num_threads, int filter) {
   std::atomic<int> failures(0);
   const size_t plane = static_cast<size_t>(3) * out_h * out_w;
   const size_t stride = 3 * plane;
@@ -228,7 +246,8 @@ int signal_decode_batch_packed(const char** paths, int n, int out_h,
     int pane = w / 3;
     for (int m = 0; m < 3; ++m) {
       resize_normalize(rgb.data(), w, h, m * pane, (m + 1) * pane, out_h,
-                       out_w, mean, stdv, out + i * stride + m * plane);
+                       out_w, mean, stdv, out + i * stride + m * plane,
+                       filter);
     }
   });
   return failures.load();

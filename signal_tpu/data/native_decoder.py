@@ -34,7 +34,7 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ]
     _lib = lib
     return lib
@@ -46,9 +46,16 @@ def _c_paths(paths: Sequence[str]):
     return arr
 
 
+FILTERS = {"bilinear": 0, "bicubic": 1}
+
+
 def decode_batch(paths: Sequence[str], out_h: int, out_w: int,
-                 mean, std, num_threads: int = 4) -> Optional[np.ndarray]:
-    """→ [N, 3, H, W] float32 or None if the lib is unavailable."""
+                 mean, std, num_threads: int = 4,
+                 filter: str = "bilinear") -> Optional[np.ndarray]:
+    """→ [N, 3, H, W] float32 or None if the lib is unavailable.
+
+    ``filter``: 'bilinear' (PIL BILINEAR, the reference eval resize) or
+    'bicubic' (PIL BICUBIC, the reference train resize)."""
     lib = _load()
     if lib is None:
         return None
@@ -60,14 +67,16 @@ def decode_batch(paths: Sequence[str], out_h: int, out_w: int,
         _c_paths(paths), n, out_h, out_w,
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
+        FILTERS[filter])
     if fails:
         raise IOError(f"native decoder: {fails}/{n} images failed to decode")
     return out
 
 
 def decode_batch_packed(paths: Sequence[str], out_h: int, out_w: int,
-                        mean, std, num_threads: int = 4) -> Optional[np.ndarray]:
+                        mean, std, num_threads: int = 4,
+                        filter: str = "bilinear") -> Optional[np.ndarray]:
     """Packed RGB|NI|TI jpgs → [N, 3modal, 3ch, H, W] float32, or None."""
     lib = _load()
     if lib is None:
@@ -80,7 +89,8 @@ def decode_batch_packed(paths: Sequence[str], out_h: int, out_w: int,
         _c_paths(paths), n, out_h, out_w,
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
+        FILTERS[filter])
     if fails:
         raise IOError(f"native decoder: {fails}/{n} images failed to decode")
     return out

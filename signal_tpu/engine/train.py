@@ -47,8 +47,13 @@ class TrainState:
     centers: Any = None  # center-loss class centers (when enabled)
 
 
-def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
-    """Builds the jitted train step closed over static config."""
+def make_train_step(spec: ModelSpec, cfg, num_classes: int,
+                    device_augment: bool = False) -> Callable:
+    """Builds the jitted train step closed over static config.
+
+    ``device_augment``: the loader delivered decode+resize+normalize only;
+    flip/pad+crop/erase run here, on device, fused into the step
+    (`signal_tpu.data.augment`). Requires a per-step ``rng``."""
     loss_fn = make_loss(cfg, num_classes)
     gram_w = cfg.MODEL.Gram_Loss_weight
     pat_w = cfg.MODEL.PAT_Loss_weight
@@ -58,15 +63,30 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int) -> Callable:
     use_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
     center_w = cfg.SOLVER.CENTER_LOSS_WEIGHT
     center_lr = cfg.SOLVER.CENTER_LR
+    flip_prob, re_prob = float(cfg.INPUT.PROB), float(cfg.INPUT.RE_PROB)
+    aug_padding = int(cfg.INPUT.PADDING)
+    aug_fill = tuple((0.0 - float(m)) / float(s) for m, s in
+                     zip(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bn_state, opt_state, batch, lr_a, lr_b, group_trees,
                    rng=None, centers=None):
         base_lr_tree, wd_tree, trainable_tree = group_trees
+        imgs = batch["imgs"]
+        model_rng = rng
+        if device_augment:
+            from signal_tpu.data.augment import augment_batch
+
+            assert rng is not None, "device_augment needs a per-step rng"
+            aug_rng = jax.random.fold_in(rng, 0)
+            model_rng = jax.random.fold_in(rng, 1)
+            imgs = augment_batch(aug_rng, imgs, flip_prob=flip_prob,
+                                 re_prob=re_prob, padding=aug_padding,
+                                 fill=aug_fill)
 
         def objective(p, c):
-            out, new_bn = forward_train(p, bn_state, batch["imgs"], batch["camids"],
-                                        spec, rng=rng)
+            out, new_bn = forward_train(p, bn_state, imgs, batch["camids"],
+                                        spec, rng=model_rng)
             loss = total_train_loss(out, batch["pids"], loss_fn,
                                     gram_weight=gram_w, pat_weight=pat_w)
             if use_center and c is not None:
@@ -162,7 +182,9 @@ def do_train(
     use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
     opt_state = (jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
                  if use_sgd else adam_init(params))
-    train_step = make_train_step(spec, cfg, num_classes)
+    device_augment = bool(getattr(train_loader, "device_augment", False))
+    train_step = make_train_step(spec, cfg, num_classes,
+                                 device_augment=device_augment)
 
     scene_aware = cfg.DATASETS.NAMES == "MSVR310"
     evaluator = R1mAPEvaluator(num_query, feat_norm=cfg.TEST.FEAT_NORM == "yes",
@@ -212,7 +234,8 @@ def do_train(
         lr_a, lr_b = schedule_coeffs(cfg, epoch)
         n_iter = 0
         pending = []
-        needs_rng = spec.backbone == "imagenet" and spec.drop_path > 0
+        needs_rng = device_augment or (spec.backbone == "imagenet"
+                                       and spec.drop_path > 0)
         for n_iter, batch in enumerate(train_loader):
             db = _device_batch(batch, mesh)
             step_rng = (jax.random.fold_in(key, epoch * 100000 + n_iter)

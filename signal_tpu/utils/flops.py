@@ -25,10 +25,34 @@ def cost_analysis(fn: Callable, *args) -> Dict[str, float]:
     return dict(costs or {})
 
 
+def flash_attention_flops(spec, batch_size: int, *, train: bool = False) -> float:
+    """Analytic MXU-matmul FLOPs of the Pallas fused-attention calls in one
+    Signal forward (and backward when ``train``) — XLA's cost model is
+    blind through custom calls, so these must be added by hand.
+
+    Per ViT layer over R = 3·B token rows of length L = h·w+1, width D:
+      forward kernel  = 2 matmuls (QKᵀ, PV)              = 4·R·L²·D
+      backward kernel = 5 matmuls (S, dV, dP, dQ, dK)    = 10·R·L²·D
+    (`signal_tpu/ops/flash_attention.py:43-61,100-138`). With per-block
+    rematerialization the forward kernel runs again inside the backward.
+    """
+    if not spec.use_flash:
+        return 0.0
+    R = 3 * batch_size
+    L = spec.h * spec.w + 1
+    D = spec.width
+    fwd = 4.0 * R * L * L * D * spec.layers
+    if not train:
+        return fwd
+    bwd = 2.5 * fwd
+    remat = fwd if spec.remat else 0.0
+    return fwd + bwd + remat
+
+
 def model_flops(spec, params, bn_state, batch_size: int = 1) -> float:
-    """FLOPs (raw, not giga) of one Signal eval forward per XLA's own
-    accounting (mirrors `Signal.flops()`). NOTE: under-reports through
-    Pallas custom calls."""
+    """FLOPs (raw, not giga) of one Signal eval forward: XLA's own cost
+    accounting (mirrors `Signal.flops()`) plus the analytic count for the
+    Pallas attention custom calls XLA cannot see into."""
     import jax.numpy as jnp
 
     from signal_tpu.models.signal_model import forward_eval
@@ -40,7 +64,31 @@ def model_flops(spec, params, bn_state, batch_size: int = 1) -> float:
     costs = cost_analysis(
         lambda p, s, x, c: forward_eval(p, s, x, c, spec),
         params, bn_state, imgs, cam)
-    return float(costs.get("flops", 0.0))
+    return float(costs.get("flops", 0.0)) + flash_attention_flops(
+        spec, batch_size, train=False)
+
+
+# peak dense-bf16 FLOP/s per chip by device kind (public TPU specs)
+_PEAK_FLOPS = (
+    ("v6", 918e12),       # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5", 197e12),       # v5e ("TPU v5 lite")
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def peak_flops_per_chip(default: float = 197e12) -> float:
+    """Best-effort peak bf16 FLOP/s of the attached chip (for MFU)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return default
+    for tag, peak in _PEAK_FLOPS:
+        if tag in kind:
+            return peak
+    return default
 
 
 def param_count(params) -> int:
