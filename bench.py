@@ -163,7 +163,7 @@ def main():
     from signal_tpu.config import Config
     from signal_tpu.models.signal_model import ModelSpec, init_signal_params
     from signal_tpu.utils.flops import (
-        cost_analysis, flash_attention_flops, model_flops, peak_flops_per_chip)
+        peak_flops_per_chip, signal_analytic_flops)
 
     cfg = Config()
     cfg.MODEL.USE_A = True
@@ -187,29 +187,13 @@ def main():
     train_rate, train_B, step_s = bench_train(cfg, spec, params, bn_state,
                                               num_classes)
 
+    # MFU from the analytic matmul count (XLA's cost_analysis counts the
+    # 12-layer scan body once and is blind through Pallas custom calls —
+    # it under-reports by ~8×; see utils/flops.signal_analytic_flops)
     peak = peak_flops_per_chip()
-    eval_flops = model_flops(spec, params, bn_state, batch_size=eval_B)
+    eval_flops = signal_analytic_flops(spec, eval_B, train=False)
     eval_mfu = 100.0 * eval_flops * (eval_rate / eval_B) / peak
-
-    # train-step FLOPs: XLA's count for the compiled step (covers fwd, the
-    # remat recompute, bwd, Adam) + the analytic Pallas-attention FLOPs
-    from signal_tpu.engine.train import make_train_step
-    from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
-
-    group_trees = jax.tree.map(jnp.asarray, build_param_groups(params, cfg))
-    train_step = make_train_step(spec, cfg, num_classes)
-    batch = {
-        "imgs": {m: jnp.zeros((train_B, 3, 256, 128), jnp.float32)
-                 for m in ("RGB", "NI", "TI")},
-        "pids": jnp.zeros((train_B,), jnp.int32),
-        "camids": jnp.zeros((train_B,), jnp.int32),
-    }
-    lr_a, lr_b = schedule_coeffs(cfg, 1)
-    costs = cost_analysis(
-        train_step, params, bn_state, adam_init(params), batch,
-        jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
-    train_flops = (float(costs.get("flops", 0.0))
-                   + flash_attention_flops(spec, train_B, train=True))
+    train_flops = signal_analytic_flops(spec, train_B, train=True)
     train_mfu = 100.0 * train_flops / step_s / peak
 
     try:

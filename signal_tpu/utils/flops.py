@@ -49,10 +49,47 @@ def flash_attention_flops(spec, batch_size: int, *, train: bool = False) -> floa
     return fwd + bwd + remat
 
 
+def signal_analytic_flops(spec, batch_size: int, *, train: bool = False) -> float:
+    """Analytic matmul/conv FLOPs (2·MACs) of one Signal forward — and of
+    one full train step when ``train`` (backward = 2× the forward matmul
+    FLOPs; per-block remat replays the forward once more).
+
+    Needed because XLA's ``cost_analysis`` counts a ``lax.scan`` body ONCE
+    (the While loop's trip count is invisible to it) and sees nothing
+    inside Pallas custom calls — it under-reports the 12-layer ViT by ~8×.
+    Cross-check: ViT-B/16 ≈ 17.6 GMACs at 197 tokens ⇒ 24·W²·T·12 here.
+    """
+    W, D, depth = spec.width, spec.feat_dim, spec.layers
+    L = spec.h * spec.w
+    T = L + 1
+    R = 3 * batch_size                                  # encoder rows
+    conv = 2.0 * (spec.patch_size ** 2 * 3) * W * L      # patch embed
+    per_layer = 24.0 * W * W * T                         # qkv+out+fc+proj
+    attn = 4.0 * T * T * W                               # QKᵀ + PV
+    proj = 2.0 * W * D * T                               # ln_post proj
+    fwd = R * (conv + depth * (per_layer + attn) + proj)
+    if spec.use_a:
+        # SIM: W_q/W_k projections, selection scores, MHCA (3 q × 3L kv), FFN
+        fwd += batch_size * (
+            2.0 * D * D * (3 + 3 * L)                    # W_q + W_k
+            + 2.0 * 3 * (3 * L) * D                      # selection scores
+            + 2.0 * D * 3 * D * (3 + 3 * L)              # MHCA qkv proj
+            + 4.0 * 3 * (3 * L) * D                      # MHCA attn matmuls
+            + 2.0 * D * D * 3                            # MHCA out proj
+            + 2.0 * 3 * (2 * D * 2 * D))                 # FFN 2 linears
+    if not train:
+        return fwd
+    # fwd + backward (2×) + remat replay (1×)
+    return fwd * (4.0 if spec.remat else 3.0)
+
+
 def model_flops(spec, params, bn_state, batch_size: int = 1) -> float:
     """FLOPs (raw, not giga) of one Signal eval forward: XLA's own cost
     accounting (mirrors `Signal.flops()`) plus the analytic count for the
-    Pallas attention custom calls XLA cannot see into."""
+    Pallas attention custom calls XLA cannot see into.
+
+    NOTE: under-counts scanned layers (see ``signal_analytic_flops``,
+    which is the number MFU reporting should use)."""
     import jax.numpy as jnp
 
     from signal_tpu.models.signal_model import forward_eval

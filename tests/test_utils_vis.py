@@ -66,6 +66,27 @@ def test_cost_analysis_flops_positive():
     assert costs.get("flops", 0) > 0
 
 
+def test_signal_analytic_flops():
+    """Analytic FLOPs cross-check: the 3-modal ViT-B/16 eval forward at
+    129 tokens is ~3x the canonical 17.6 GMAC/197-token ViT-B scaled to
+    129 tokens (~23 GFLOPs/image); train = fwd + bwd(2x) + remat replay."""
+    from signal_tpu.config import Config
+    from signal_tpu.models.signal_model import ModelSpec
+    from signal_tpu.utils.flops import signal_analytic_flops
+
+    cfg = Config()
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = True
+    spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
+    f_eval = signal_analytic_flops(spec, 1, train=False)
+    # 3 x ~23 GFLOPs (ViT-B at 129 tokens) + SIM head
+    assert 60e9 < f_eval < 85e9
+    f_train = signal_analytic_flops(spec, 1, train=True)
+    assert f_train == f_eval * (4.0 if spec.remat else 3.0)
+    # scales linearly in batch
+    assert abs(signal_analytic_flops(spec, 8) - 8 * f_eval) < 1e-3 * f_eval
+
+
 def test_param_count():
     tree = {"a": jnp.ones((3, 4)), "b": {"c": jnp.ones((5,))}}
     assert param_count(tree) == 17
