@@ -87,19 +87,29 @@ def bench_train(cfg, spec, params, bn_state, num_classes: int):
     lr_a, lr_b = schedule_coeffs(cfg, 1)
     la, lb = jnp.float32(lr_a), jnp.float32(lr_b)
 
-    def step(p, s, o):
-        return train_step(p, s, o, batch, la, lb, group_trees)
-
-    # compile + warm (train_step donates its inputs — rethread state)
-    params, bn_state, opt_state, loss, _, _ = _retry(
-        lambda: step(params, bn_state, opt_state))
-    float(loss)
-
+    # N steps chained on device in one executable (same rationale as
+    # bench_eval: the host fetch of the summed loss is the sync point, so
+    # the remote-TPU tunnel's per-dispatch latency stays out of the
+    # per-chip rate). The state threading through the fori_loop carry is
+    # the real data dependence — nothing can be hoisted.
     n = 10
+
+    @jax.jit
+    def run_n(p, s, o):
+        def body(i, carry):
+            p, s, o, acc = carry
+            b = {"imgs": {k: v + 1e-6 * i.astype(jnp.float32)
+                          for k, v in batch["imgs"].items()},
+                 "pids": batch["pids"], "camids": batch["camids"]}
+            p, s, o, loss, _, _ = train_step(p, s, o, b, la, lb, group_trees)
+            return (p, s, o, acc + loss)
+        p, s, o, acc = jax.lax.fori_loop(
+            0, n, body, (p, s, o, jnp.float32(0.0)))
+        return acc
+
+    _retry(lambda: float(run_n(params, bn_state, opt_state)))  # compile+warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        params, bn_state, opt_state, loss, _, _ = step(params, bn_state, opt_state)
-    float(loss)  # host fetch = sync point
+    float(run_n(params, bn_state, opt_state))
     dt = time.perf_counter() - t0
     return B * n / dt, B, dt / n
 

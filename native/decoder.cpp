@@ -23,6 +23,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -78,6 +80,7 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
 struct FilterTable {
   std::vector<float> weights;  // [out, kmax]
   std::vector<int> starts;     // [out]
+  std::vector<int> counts;     // [out] effective taps (xmax - xmin)
   int kmax;
 };
 
@@ -103,6 +106,7 @@ FilterTable build_filter(int in_size, int out_size, int filter) {
   t.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
   t.weights.assign(static_cast<size_t>(out_size) * t.kmax, 0.f);
   t.starts.resize(out_size);
+  t.counts.resize(out_size);
   for (int o = 0; o < out_size; ++o) {
     double center = (o + 0.5) * scale;
     int xmin = static_cast<int>(center - support + 0.5);
@@ -110,6 +114,7 @@ FilterTable build_filter(int in_size, int out_size, int filter) {
     int xmax = static_cast<int>(center + support + 0.5);
     if (xmax > in_size) xmax = in_size;
     t.starts[o] = xmin;
+    t.counts[o] = xmax - xmin;
     double total = 0.0;
     for (int x = xmin; x < xmax; ++x) {
       double arg = (x - center + 0.5) / fscale;
@@ -125,57 +130,106 @@ FilterTable build_filter(int in_size, int out_size, int filter) {
   return t;
 }
 
+// Filter tables depend only on (in_size, out_size, filter) — a dataset has
+// a handful of distinct shapes, so cache them across images and threads.
+const FilterTable& cached_filter(int in_size, int out_size, int filter) {
+  static std::mutex mu;
+  static std::map<uint64_t, FilterTable> cache;  // node-stable references
+  const uint64_t key = (static_cast<uint64_t>(in_size) << 34) |
+                       (static_cast<uint64_t>(out_size) << 4) |
+                       static_cast<uint64_t>(filter);
+  std::lock_guard<std::mutex> g(mu);
+  auto it = cache.find(key);
+  if (it == cache.end())
+    it = cache.emplace(key, build_filter(in_size, out_size, filter)).first;
+  return it->second;
+}
+
+std::vector<float>& tls_scratch() {
+  static thread_local std::vector<float> buf;
+  return buf;
+}
+
 void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
                       int out_h, int out_w, const float* mean,
                       const float* stdv, float* out, int filter) {
   const int crop_w = cx1 - cx0;
-  FilterTable fx = build_filter(crop_w, out_w, filter);
-  FilterTable fy = build_filter(sh, out_h, filter);
+  const size_t plane = static_cast<size_t>(out_h) * out_w;
+  // (v/255 - mean)/std  ==  v*a + b  with a = 1/(255*std), b = -mean/std
+  float na[3], nb[3];
+  for (int c = 0; c < 3; ++c) {
+    na[c] = 1.0f / (255.0f * stdv[c]);
+    nb[c] = -mean[c] / stdv[c];
+  }
 
-  // horizontal pass: [sh, out_w, 3]
-  std::vector<float> tmp(static_cast<size_t>(sh) * out_w * 3);
+  if (crop_w == out_w && sh == out_h) {
+    // scale == 1 makes both the triangle and the cubic kernel an exact
+    // Kronecker delta — skip resampling, just deinterleave + normalize
+    for (int y = 0; y < out_h; ++y) {
+      const uint8_t* row = src + (static_cast<size_t>(y) * sw + cx0) * 3;
+      float* o0 = out + 0 * plane + static_cast<size_t>(y) * out_w;
+      float* o1 = out + 1 * plane + static_cast<size_t>(y) * out_w;
+      float* o2 = out + 2 * plane + static_cast<size_t>(y) * out_w;
+      for (int x = 0; x < out_w; ++x) {
+        o0[x] = row[3 * x + 0] * na[0] + nb[0];
+        o1[x] = row[3 * x + 1] * na[1] + nb[1];
+        o2[x] = row[3 * x + 2] * na[2] + nb[2];
+      }
+    }
+    return;
+  }
+
+  const FilterTable& fx = cached_filter(crop_w, out_w, filter);
+  const FilterTable& fy = cached_filter(sh, out_h, filter);
+
+  // horizontal pass, deinterleaving to planar [3, sh, out_w] so the
+  // vertical pass runs branchless over contiguous rows (vectorizable)
+  std::vector<float>& tmp = tls_scratch();
+  tmp.resize(static_cast<size_t>(3) * sh * out_w);
+  const size_t tplane = static_cast<size_t>(sh) * out_w;
   for (int y = 0; y < sh; ++y) {
     const uint8_t* row = src + (static_cast<size_t>(y) * sw + cx0) * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    float* r0 = tmp.data() + 0 * tplane + static_cast<size_t>(y) * out_w;
+    float* r1 = tmp.data() + 1 * tplane + static_cast<size_t>(y) * out_w;
+    float* r2 = tmp.data() + 2 * tplane + static_cast<size_t>(y) * out_w;
     for (int ox = 0; ox < out_w; ++ox) {
       const float* w = fx.weights.data() + static_cast<size_t>(ox) * fx.kmax;
-      int x0 = fx.starts[ox];
-      float acc[3] = {0.f, 0.f, 0.f};
-      for (int k = 0; k < fx.kmax; ++k) {
-        float wk = w[k];
-        if (wk == 0.f) continue;
-        const uint8_t* p = row + (static_cast<size_t>(x0 + k)) * 3;
-        acc[0] += wk * p[0];
-        acc[1] += wk * p[1];
-        acc[2] += wk * p[2];
+      const uint8_t* p = row + static_cast<size_t>(fx.starts[ox]) * 3;
+      const int cnt = fx.counts[ox];
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+      for (int k = 0; k < cnt; ++k) {
+        const float wk = w[k];
+        a0 += wk * p[3 * k + 0];
+        a1 += wk * p[3 * k + 1];
+        a2 += wk * p[3 * k + 2];
       }
-      trow[ox * 3 + 0] = acc[0];
-      trow[ox * 3 + 1] = acc[1];
-      trow[ox * 3 + 2] = acc[2];
+      r0[ox] = a0;
+      r1[ox] = a1;
+      r2[ox] = a2;
     }
   }
 
-  // vertical pass + normalize → CHW
-  const size_t plane = static_cast<size_t>(out_h) * out_w;
-  for (int oy = 0; oy < out_h; ++oy) {
-    const float* w = fy.weights.data() + static_cast<size_t>(oy) * fy.kmax;
-    int y0 = fy.starts[oy];
-    for (int ox = 0; ox < out_w; ++ox) {
-      float acc[3] = {0.f, 0.f, 0.f};
-      for (int k = 0; k < fy.kmax; ++k) {
-        float wk = w[k];
-        if (wk == 0.f) continue;
-        const float* p = tmp.data() + (static_cast<size_t>(y0 + k) * out_w + ox) * 3;
-        acc[0] += wk * p[0];
-        acc[1] += wk * p[1];
-        acc[2] += wk * p[2];
+  // vertical pass + normalize → CHW; inner loops are contiguous over ox
+  for (int c = 0; c < 3; ++c) {
+    const float* tc = tmp.data() + static_cast<size_t>(c) * tplane;
+    for (int oy = 0; oy < out_h; ++oy) {
+      const float* w = fy.weights.data() + static_cast<size_t>(oy) * fy.kmax;
+      const int y0 = fy.starts[oy];
+      const int cnt = fy.counts[oy];
+      float* orow = out + c * plane + static_cast<size_t>(oy) * out_w;
+      const float* trow = tc + static_cast<size_t>(y0) * out_w;
+      const float w0 = w[0];
+      for (int ox = 0; ox < out_w; ++ox) orow[ox] = w0 * trow[ox];
+      for (int k = 1; k < cnt; ++k) {
+        const float wk = w[k];
+        const float* tk = tc + static_cast<size_t>(y0 + k) * out_w;
+        for (int ox = 0; ox < out_w; ++ox) orow[ox] += wk * tk[ox];
       }
-      for (int c = 0; c < 3; ++c) {
-        float v = acc[c];
+      for (int ox = 0; ox < out_w; ++ox) {
+        float v = orow[ox];
         if (v < 0.f) v = 0.f;            // PIL clips to uint8 after resample
         if (v > 255.f) v = 255.f;
-        out[c * plane + static_cast<size_t>(oy) * out_w + ox] =
-            (v / 255.0f - mean[c]) / stdv[c];
+        orow[ox] = v * na[c] + nb[c];
       }
     }
   }
