@@ -145,8 +145,10 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
     vt = ValTransform((256, 128), cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
     ncpu = os.cpu_count() or 1
     loader = _BatchLoader(records, vt, B, lambda: list(range(n_samples)),
-                          drop_last=True, seed=0, num_threads=ncpu)
-    eval_step = make_eval_step(spec)
+                          drop_last=True, seed=0, num_threads=ncpu,
+                          emit_u8=True)  # normalize on device (4x less wire)
+    eval_step = make_eval_step(
+        spec, normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
     def run():
         acc = None

@@ -235,6 +235,91 @@ void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
   }
 }
 
+inline float clip8f(float v) {  // PIL clip8: round half up, clamp to u8
+  v += 0.5f;
+  if (v <= 0.f) return 0.f;
+  if (v >= 255.f) return 255.f;
+  return static_cast<float>(static_cast<int>(v));
+}
+
+// Resample to uint8 CHW (PIL rounds to uint8 after each resample — this
+// output is bit-closer to the reference transform than the float path).
+// Normalization then runs on the TPU, fused into the patch-embed conv:
+// shipping uint8 instead of float32 quarters host->device transfer.
+void resize_to_u8(const uint8_t* src, int sw, int sh, int cx0, int cx1,
+                  int out_h, int out_w, uint8_t* out, int filter) {
+  const int crop_w = cx1 - cx0;
+  const size_t plane = static_cast<size_t>(out_h) * out_w;
+
+  if (crop_w == out_w && sh == out_h) {  // delta kernel: deinterleave only
+    for (int y = 0; y < out_h; ++y) {
+      const uint8_t* row = src + (static_cast<size_t>(y) * sw + cx0) * 3;
+      uint8_t* o0 = out + 0 * plane + static_cast<size_t>(y) * out_w;
+      uint8_t* o1 = out + 1 * plane + static_cast<size_t>(y) * out_w;
+      uint8_t* o2 = out + 2 * plane + static_cast<size_t>(y) * out_w;
+      for (int x = 0; x < out_w; ++x) {
+        o0[x] = row[3 * x + 0];
+        o1[x] = row[3 * x + 1];
+        o2[x] = row[3 * x + 2];
+      }
+    }
+    return;
+  }
+
+  const FilterTable& fx = cached_filter(crop_w, out_w, filter);
+  const FilterTable& fy = cached_filter(sh, out_h, filter);
+  std::vector<float>& tmp = tls_scratch();
+  tmp.resize(static_cast<size_t>(3) * sh * out_w + out_w);
+  const size_t tplane = static_cast<size_t>(sh) * out_w;
+  float* vrow = tmp.data() + 3 * tplane;  // vertical-pass accumulator row
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + (static_cast<size_t>(y) * sw + cx0) * 3;
+    float* r0 = tmp.data() + 0 * tplane + static_cast<size_t>(y) * out_w;
+    float* r1 = tmp.data() + 1 * tplane + static_cast<size_t>(y) * out_w;
+    float* r2 = tmp.data() + 2 * tplane + static_cast<size_t>(y) * out_w;
+    for (int ox = 0; ox < out_w; ++ox) {
+      const float* w = fx.weights.data() + static_cast<size_t>(ox) * fx.kmax;
+      const uint8_t* p = row + static_cast<size_t>(fx.starts[ox]) * 3;
+      const int cnt = fx.counts[ox];
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+      for (int k = 0; k < cnt; ++k) {
+        const float wk = w[k];
+        a0 += wk * p[3 * k + 0];
+        a1 += wk * p[3 * k + 1];
+        a2 += wk * p[3 * k + 2];
+      }
+      // PIL quantizes the horizontal pass to uint8 (clip8) before the
+      // vertical pass — reproduce it for bit-parity with the reference
+      // transforms (matters for the negative-lobed cubic kernel)
+      r0[ox] = clip8f(a0);
+      r1[ox] = clip8f(a1);
+      r2[ox] = clip8f(a2);
+    }
+  }
+  for (int c = 0; c < 3; ++c) {
+    const float* tc = tmp.data() + static_cast<size_t>(c) * tplane;
+    for (int oy = 0; oy < out_h; ++oy) {
+      const float* w = fy.weights.data() + static_cast<size_t>(oy) * fy.kmax;
+      const int y0 = fy.starts[oy];
+      const int cnt = fy.counts[oy];
+      uint8_t* orow = out + c * plane + static_cast<size_t>(oy) * out_w;
+      const float* trow = tc + static_cast<size_t>(y0) * out_w;
+      const float w0 = w[0];
+      for (int ox = 0; ox < out_w; ++ox) vrow[ox] = w0 * trow[ox];
+      for (int k = 1; k < cnt; ++k) {
+        const float wk = w[k];
+        const float* tk = tc + static_cast<size_t>(y0 + k) * out_w;
+        for (int ox = 0; ox < out_w; ++ox) vrow[ox] += wk * tk[ox];
+      }
+      for (int ox = 0; ox < out_w; ++ox) {
+        const float v = vrow[ox] + 0.5f;  // PIL clip8: round half up
+        orow[ox] = v <= 0.f ? 0 : (v >= 255.f ? 255
+                                   : static_cast<uint8_t>(v));
+      }
+    }
+  }
+}
+
 void parallel_for(int n, int num_threads, const std::function<void(int)>& fn) {
   if (num_threads <= 1 || n <= 1) {
     for (int i = 0; i < n; ++i) fn(i);
@@ -302,6 +387,50 @@ int signal_decode_batch_packed(const char** paths, int n, int out_h,
       resize_normalize(rgb.data(), w, h, m * pane, (m + 1) * pane, out_h,
                        out_w, mean, stdv, out + i * stride + m * plane,
                        filter);
+    }
+  });
+  return failures.load();
+}
+
+// uint8 variants: decode + resample only, normalization deferred to the
+// device (the affine fuses into the patch-embed conv; uint8 transfer is
+// 4x smaller than float32 over PCIe/tunnel).
+int signal_decode_batch_u8(const char** paths, int n, int out_h, int out_w,
+                           uint8_t* out, int num_threads, int filter) {
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(3) * out_h * out_w;
+  parallel_for(n, num_threads, [&](int i) {
+    std::vector<uint8_t> rgb;
+    int w, h;
+    if (!decode_jpeg(paths[i], rgb, w, h)) {
+      memset(out + i * stride, 0, stride);
+      failures.fetch_add(1);
+      return;
+    }
+    resize_to_u8(rgb.data(), w, h, 0, w, out_h, out_w, out + i * stride,
+                 filter);
+  });
+  return failures.load();
+}
+
+int signal_decode_batch_packed_u8(const char** paths, int n, int out_h,
+                                  int out_w, uint8_t* out, int num_threads,
+                                  int filter) {
+  std::atomic<int> failures(0);
+  const size_t plane = static_cast<size_t>(3) * out_h * out_w;
+  const size_t stride = 3 * plane;
+  parallel_for(n, num_threads, [&](int i) {
+    std::vector<uint8_t> rgb;
+    int w, h;
+    if (!decode_jpeg(paths[i], rgb, w, h)) {
+      memset(out + i * stride, 0, stride);
+      failures.fetch_add(1);
+      return;
+    }
+    int pane = w / 3;
+    for (int m = 0; m < 3; ++m) {
+      resize_to_u8(rgb.data(), w, h, m * pane, (m + 1) * pane, out_h, out_w,
+                   out + i * stride + m * plane, filter);
     }
   });
   return failures.load();

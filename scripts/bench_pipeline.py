@@ -62,6 +62,16 @@ def main(n_samples: int = 64):
                       "unit": "samples/s", "host_cpus": os.cpu_count(),
                       "speedup_vs_pil": round(dt_pil / dt_nat, 2)}))
 
+    # uint8 path: decode+resample only, Normalize deferred to the device
+    # (the production configuration, DATALOADER.DEVICE_NORMALIZE=True)
+    t0 = time.perf_counter()
+    native_decoder.decode_batch_u8(paths, 256, 128, os.cpu_count() or 1)
+    dt_u8 = time.perf_counter() - t0
+    print(json.dumps({"metric": "pipeline_native_u8_3modal_samples_per_s",
+                      "value": round(n_samples / dt_u8, 2),
+                      "unit": "samples/s", "host_cpus": os.cpu_count(),
+                      "speedup_vs_pil": round(dt_pil / dt_u8, 2)}))
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)

@@ -90,6 +90,10 @@ class DataloaderConfig:
     # batches). Same augmentation distribution as the reference's
     # torchvision pipeline; set False for the host-side TrainTransform.
     DEVICE_AUGMENT: bool = True
+    # ship uint8 pixels to the device and run torchvision-Normalize there
+    # (fused into the patch conv; 4x less host->device transfer). The
+    # uint8 rounding matches PIL's post-resample quantization bit-exactly.
+    DEVICE_NORMALIZE: bool = True
 
 
 @dataclass

@@ -29,6 +29,24 @@ import jax
 import jax.numpy as jnp
 
 
+def normalize_images(imgs: Dict[str, jnp.ndarray], mean: Sequence[float],
+                     std: Sequence[float]) -> Dict[str, jnp.ndarray]:
+    """Device-side torchvision ``Normalize``: uint8 [B, 3, H, W] pixels →
+    float32 ``(x/255 − mean)/std``. The affine is fused by XLA into the
+    patch-embed conv; shipping uint8 instead of pre-normalized float32
+    quarters host→device transfer (the hot wire on a TPU-VM). Float
+    inputs pass through untouched (already normalized on the host)."""
+    a = jnp.asarray([1.0 / (255.0 * s) for s in std], jnp.float32)
+    b = jnp.asarray([-m / s for m, s in zip(mean, std)], jnp.float32)
+    out = {}
+    for name, x in imgs.items():
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * a[None, :, None, None] \
+                + b[None, :, None, None]
+        out[name] = x
+    return out
+
+
 def _flip(key, x: jnp.ndarray, prob: float) -> jnp.ndarray:
     do = jax.random.uniform(key, (x.shape[0],)) < prob
     return jnp.where(do[:, None, None, None], x[..., ::-1], x)

@@ -65,7 +65,8 @@ class _BatchLoader:
     def __init__(self, dataset_records, transform, batch_size: int,
                  index_source, *, drop_last: bool, seed: int,
                  num_threads: int = 4, include_paths: bool = False,
-                 num_samples_hint: Optional[int] = None, key_offset: int = 0):
+                 num_samples_hint: Optional[int] = None, key_offset: int = 0,
+                 emit_u8: bool = False):
         self.records = dataset_records
         self.transform = transform
         self.batch_size = batch_size
@@ -81,6 +82,9 @@ class _BatchLoader:
         # single-host training are bit-identical (no reference equivalent:
         # torchvision draws fresh per-worker randomness)
         self.key_offset = key_offset
+        # native batches ship raw uint8 pixels; normalization runs on
+        # device (engine eval/train steps), quartering host→device bytes
+        self.emit_u8 = emit_u8
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -121,13 +125,21 @@ class _BatchLoader:
         mean, std = self.transform.mean, self.transform.std
         filt = self.transform.native_filter
         if isinstance(paths0[0], str):
-            arrs = native_decoder.decode_batch_packed(
-                paths0, h, w, mean, std, self.num_threads,
-                filter=filt)                                    # [B, 3m, 3c, H, W]
+            if self.emit_u8:
+                arrs = native_decoder.decode_batch_packed_u8(
+                    paths0, h, w, self.num_threads, filter=filt)
+            else:
+                arrs = native_decoder.decode_batch_packed(
+                    paths0, h, w, mean, std, self.num_threads,
+                    filter=filt)                                # [B, 3m, 3c, H, W]
         else:
             flat = [q for p in paths0 for q in p]
-            dec = native_decoder.decode_batch(flat, h, w, mean, std,
-                                              self.num_threads, filter=filt)
+            if self.emit_u8:
+                dec = native_decoder.decode_batch_u8(
+                    flat, h, w, self.num_threads, filter=filt)
+            else:
+                dec = native_decoder.decode_batch(flat, h, w, mean, std,
+                                                  self.num_threads, filter=filt)
             arrs = dec.reshape(len(records), 3, 3, h, w)
         batch = {
             "imgs": {"RGB": arrs[:, 0], "NI": arrs[:, 1], "TI": arrs[:, 2]},
@@ -209,7 +221,8 @@ class _ShardedValLoader:
     (`engine/processor.py:311-327`) with a fully sharded eval pass."""
 
     def __init__(self, records, transform, global_bs: int, num_shards: int,
-                 shard: int, seed: int, num_threads: int):
+                 shard: int, seed: int, num_threads: int,
+                 emit_u8: bool = False):
         assert global_bs % num_shards == 0, (
             f"TEST.IMS_PER_BATCH={global_bs} not divisible by {num_shards} hosts")
         n = len(records)
@@ -223,7 +236,7 @@ class _ShardedValLoader:
         self._inner = _BatchLoader(
             records, transform, mini, lambda: list(local_idx),
             drop_last=True, seed=seed, num_threads=num_threads,
-            include_paths=True)
+            include_paths=True, emit_u8=emit_u8)
 
     def __len__(self) -> int:
         return len(self._padded) // self.global_bs
@@ -262,6 +275,9 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None,
     # jitted train step (`signal_tpu.data.augment`). Falls back to the full
     # host-side TrainTransform when disabled.
     device_augment = bool(getattr(cfg.DATALOADER, "DEVICE_AUGMENT", False))
+    # ship uint8 over the wire, Normalize on device (engine steps handle
+    # both dtypes; PIL-fallback batches stay pre-normalized float32)
+    emit_u8 = bool(getattr(cfg.DATALOADER, "DEVICE_NORMALIZE", True))
     if device_augment:
         from signal_tpu.data.transforms import RawTrainDecode
 
@@ -294,25 +310,27 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None,
         dataset.train, train_tf, local_bs,
         index_source, drop_last=True, seed=cfg.SOLVER.SEED,
         num_threads=nthreads, num_samples_hint=hint,
-        key_offset=shard_index * local_bs)
+        key_offset=shard_index * local_bs, emit_u8=emit_u8)
     # the engine reads this to fuse flip/crop/erase into the train step
     train_loader.device_augment = device_augment
 
     train_loader_normal = _BatchLoader(
         dataset.train, val_tf, cfg.TEST.IMS_PER_BATCH,
         lambda: list(range(len(dataset.train))), drop_last=False,
-        seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True)
+        seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True,
+        emit_u8=emit_u8)
 
     val_records = dataset.query + dataset.gallery
     if num_shards > 1:
         val_loader = _ShardedValLoader(
             val_records, val_tf, cfg.TEST.IMS_PER_BATCH, num_shards,
-            shard_index, cfg.SOLVER.SEED, nthreads)
+            shard_index, cfg.SOLVER.SEED, nthreads, emit_u8=emit_u8)
     else:
         val_loader = _BatchLoader(
             val_records, val_tf, cfg.TEST.IMS_PER_BATCH,
             lambda: list(range(len(val_records))), drop_last=False,
-            seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True)
+            seed=cfg.SOLVER.SEED, num_threads=nthreads, include_paths=True,
+            emit_u8=emit_u8)
 
     num_classes = dataset.num_train_pids
     cam_num = dataset.num_train_cams

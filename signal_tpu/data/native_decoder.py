@@ -36,6 +36,13 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ]
+    for fn in (lib.signal_decode_batch_u8, lib.signal_decode_batch_packed_u8):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int,
+        ]
     _lib = lib
     return lib
 
@@ -90,6 +97,47 @@ def decode_batch_packed(paths: Sequence[str], out_h: int, out_w: int,
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
+        FILTERS[filter])
+    if fails:
+        raise IOError(f"native decoder: {fails}/{n} images failed to decode")
+    return out
+
+
+def decode_batch_u8(paths: Sequence[str], out_h: int, out_w: int,
+                    num_threads: int = 4,
+                    filter: str = "bilinear") -> Optional[np.ndarray]:
+    """→ [N, 3, H, W] uint8 (decode+resample only) or None.
+
+    Normalization is deferred to the device (see
+    ``signal_tpu.data.augment.normalize_images``): shipping uint8 quarters
+    host→device transfer, and the rounding matches PIL — which quantizes
+    to uint8 after every resample — bit-for-bit."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, 3, out_h, out_w), np.uint8)
+    fails = lib.signal_decode_batch_u8(
+        _c_paths(paths), n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads,
+        FILTERS[filter])
+    if fails:
+        raise IOError(f"native decoder: {fails}/{n} images failed to decode")
+    return out
+
+
+def decode_batch_packed_u8(paths: Sequence[str], out_h: int, out_w: int,
+                           num_threads: int = 4,
+                           filter: str = "bilinear") -> Optional[np.ndarray]:
+    """Packed RGB|NI|TI jpgs → [N, 3modal, 3ch, H, W] uint8, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, 3, 3, out_h, out_w), np.uint8)
+    fails = lib.signal_decode_batch_packed_u8(
+        _c_paths(paths), n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads,
         FILTERS[filter])
     if fails:
         raise IOError(f"native decoder: {fails}/{n} images failed to decode")

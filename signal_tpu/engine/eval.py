@@ -21,23 +21,34 @@ from signal_tpu.models.signal_model import ModelSpec, forward_eval
 logger = logging.getLogger("signal_tpu.eval")
 
 
-def make_eval_step(spec: ModelSpec):
+def make_eval_step(spec: ModelSpec, normalize=None):
+    """``normalize``: optional (mean, std) tuple — lets the loader ship
+    uint8 pixels and run torchvision-``Normalize`` on device (fused into
+    the patch conv; 4× less host→device transfer). Required when batches
+    arrive as uint8; float batches pass through either way."""
+
     @jax.jit
     def eval_step(params, bn_state, imgs, camids):
+        if any(v.dtype == jnp.uint8 for v in imgs.values()):
+            assert normalize is not None, (
+                "uint8 eval batch but make_eval_step(normalize=) not given")
+            from signal_tpu.data.augment import normalize_images
+
+            imgs = normalize_images(imgs, *normalize)
         return forward_eval(params, bn_state, imgs, camids, spec)
 
     return eval_step
 
 
 def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
-                     mesh=None, eval_step=None):
+                     mesh=None, eval_step=None, normalize=None):
     """Stream batches through forward_eval, feeding the evaluator.
 
     Multi-host: each host's loader shard carries the GLOBAL batch metadata
     in ``batch['global']`` (see ``data.loader._ShardedValLoader``); the
     global feature rows are all-gathered to every host so the evaluator
     runs identically everywhere (deterministic — no broadcast needed)."""
-    eval_step = eval_step or make_eval_step(spec)
+    eval_step = eval_step or make_eval_step(spec, normalize=normalize)
     for batch in loader:
         imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
         camids = jnp.asarray(batch["camids"])
@@ -77,7 +88,8 @@ def do_inference(cfg, spec: ModelSpec, params, bn_state, val_loader,
         scene_aware=scene_aware,
         rank_dump_path=cfg.TEST.RANK_DUMP or None,
     )
-    extract_features(spec, params, bn_state, val_loader, evaluator, mesh=mesh)
+    extract_features(spec, params, bn_state, val_loader, evaluator, mesh=mesh,
+                     normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
     cmc, mAP, *_ = evaluator.compute()
     logger.info("Validation Results ")
     logger.info("mAP: %.1f%%", 100 * mAP)

@@ -65,6 +65,8 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
     center_lr = cfg.SOLVER.CENTER_LR
     flip_prob, re_prob = float(cfg.INPUT.PROB), float(cfg.INPUT.RE_PROB)
     aug_padding = int(cfg.INPUT.PADDING)
+    pixel_mean = tuple(float(m) for m in cfg.INPUT.PIXEL_MEAN)
+    pixel_std = tuple(float(s) for s in cfg.INPUT.PIXEL_STD)
     aug_fill = tuple((0.0 - float(m)) / float(s) for m, s in
                      zip(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
@@ -73,6 +75,12 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
                    rng=None, centers=None):
         base_lr_tree, wd_tree, trainable_tree = group_trees
         imgs = batch["imgs"]
+        if any(v.dtype == jnp.uint8 for v in imgs.values()):
+            # loader shipped raw uint8 pixels (4× less transfer); run
+            # torchvision-Normalize here, fused into the forward
+            from signal_tpu.data.augment import normalize_images
+
+            imgs = normalize_images(imgs, pixel_mean, pixel_std)
         model_rng = rng
         if device_augment:
             from signal_tpu.data.augment import augment_batch
@@ -225,7 +233,8 @@ def do_train(
     log_period = cfg.SOLVER.LOG_PERIOD
     from signal_tpu.engine.eval import make_eval_step
 
-    eval_step = make_eval_step(spec)  # built once — re-jitting per epoch recompiles
+    eval_step = make_eval_step(  # built once — re-jitting per epoch recompiles
+        spec, normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS + 1):
         t0 = time.time()

@@ -257,3 +257,76 @@ def test_config_rejects_scalar_for_tuple_knob():
 def _pytest_raises(exc):
     import pytest as _p
     return _p.raises(exc)
+
+
+def test_native_decoder_u8_matches_pil_bitexact(tmp_path):
+    """The uint8 output path rounds like PIL's post-resample clip8 —
+    identity AND resample cases must match np.asarray(PIL) bit-for-bit."""
+    from signal_tpu.data import native_decoder
+    if not native_decoder.available():
+        pytest.skip("native decoder not built (make -C native)")
+    rng = np.random.default_rng(1)
+    p_small = str(tmp_path / "small.jpg")   # 128x64 -> 256x128 upscale
+    p_exact = str(tmp_path / "exact.jpg")   # 256x128 identity
+    Image.fromarray(rng.integers(0, 255, (128, 64, 3), dtype=np.uint8)
+                    ).save(p_small, quality=95)
+    Image.fromarray(rng.integers(0, 255, (256, 128, 3), dtype=np.uint8)
+                    ).save(p_exact, quality=95)
+    for p, filt, pil_f in ((p_small, "bilinear", Image.BILINEAR),
+                           (p_small, "bicubic", Image.BICUBIC),
+                           (p_exact, "bilinear", Image.BILINEAR)):
+        out = native_decoder.decode_batch_u8([p], 256, 128, 1, filter=filt)
+        assert out.dtype == np.uint8 and out.shape == (1, 3, 256, 128)
+        ref = np.asarray(Image.open(p).convert("RGB")
+                         .resize((128, 256), pil_f)).transpose(2, 0, 1)
+        mismatch = np.abs(out[0].astype(int) - ref.astype(int))
+        # PIL's fixed-point resample vs our float accumulate: allow 1 LSB
+        # on a handful of half-way pixels, never more
+        assert mismatch.max() <= 1 and (mismatch > 0).mean() < 0.02, filt
+
+
+def test_u8_batch_normalized_on_device_matches_float(tmp_path):
+    """An emit_u8 loader batch fed through make_eval_step(normalize=...)
+    must produce the same features as the pre-normalized float path."""
+    import jax.numpy as jnp
+
+    from signal_tpu.data import native_decoder
+    if not native_decoder.available():
+        pytest.skip("native decoder not built")
+    from signal_tpu.data.augment import normalize_images
+
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (2, 3, 8, 4), dtype=np.uint8)
+    mean, std = (0.5, 0.4, 0.3), (0.5, 0.2, 0.1)
+    got = normalize_images({"RGB": jnp.asarray(u8)}, mean, std)["RGB"]
+    want = (u8.astype(np.float32) / 255.0
+            - np.asarray(mean)[None, :, None, None]) \
+        / np.asarray(std)[None, :, None, None]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-5)
+    # float input passes through untouched
+    f32 = want.astype(np.float32)
+    same = normalize_images({"RGB": jnp.asarray(f32)}, mean, std)["RGB"]
+    np.testing.assert_array_equal(np.asarray(same), f32)
+
+
+def test_val_loader_emits_u8_and_eval_consumes_it(tmp_path):
+    from signal_tpu.data import native_decoder
+    if not native_decoder.available():
+        pytest.skip("native decoder not built")
+    root = _make_rgbnt201_fixture(str(tmp_path))
+    cfg = Config()
+    cfg.DATASETS.NAMES = "RGBNT201"
+    cfg.DATASETS.ROOT_DIR = root
+    cfg.TEST.IMS_PER_BATCH = 4
+    cfg.INPUT.SIZE_TEST = (64, 32)
+    cfg.INPUT.SIZE_TRAIN = (64, 32)
+    cfg.DATALOADER.NUM_INSTANCE = 1
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    (_, _, val_loader, *_rest) = make_dataloader(cfg)
+    batch = next(iter(val_loader))
+    assert batch["imgs"]["RGB"].dtype == np.uint8
+    # and the knob turns it back off
+    cfg.DATALOADER.DEVICE_NORMALIZE = False
+    (_, _, val_loader, *_rest) = make_dataloader(cfg)
+    batch = next(iter(val_loader))
+    assert batch["imgs"]["RGB"].dtype == np.float32
