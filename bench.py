@@ -36,10 +36,10 @@ def _retry(fn):
             time.sleep(5)
 
 
-def bench_eval(cfg, spec, params, bn_state):
+def bench_eval(cfg, spec, params, bn_state, B: int = 128):
     from signal_tpu.models.signal_model import forward_eval
 
-    B = 128  # reference TEST.IMS_PER_BATCH for RGBNT201
+    # default B=128: reference TEST.IMS_PER_BATCH for RGBNT201
     imgs = {m: jnp.asarray(
         jax.random.normal(jax.random.PRNGKey(i), (B, 3, 256, 128), jnp.float32))
         for i, m in enumerate(("RGB", "NI", "TI"))}
@@ -66,7 +66,7 @@ def bench_eval(cfg, spec, params, bn_state):
     return B * n_iters / dt, B
 
 
-def bench_train(cfg, spec, params, bn_state, num_classes: int):
+def bench_train(cfg, spec, params, bn_state, num_classes: int, B: int = 0):
     from signal_tpu.engine.train import make_train_step
     from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
 
@@ -74,7 +74,7 @@ def bench_train(cfg, spec, params, bn_state, num_classes: int):
     opt_state = adam_init(params)
     train_step = make_train_step(spec, cfg, num_classes)
 
-    B = cfg.SOLVER.IMS_PER_BATCH
+    B = B or cfg.SOLVER.IMS_PER_BATCH
     rng = jax.random.PRNGKey(1)
     batch = {
         "imgs": {m: jax.random.normal(jax.random.fold_in(rng, i),

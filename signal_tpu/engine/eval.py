@@ -66,7 +66,10 @@ def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
                 multihost_utils.process_allgather(feats, tiled=True))
         else:
             meta = batch
-            feats_np = np.asarray(feats)
+            # keep on device: the slice below dispatches async, so the
+            # next batch's forward is enqueued without waiting for this
+            # one's result (the evaluator fetches everything at compute())
+            feats_np = feats
         valid = meta.get("valid", feats_np.shape[0])
         evaluator.update(
             feats_np[:valid],

@@ -152,7 +152,9 @@ class R1mAPEvaluator:
         self.img_paths = []
 
     def update(self, feat, pid, camid, sceneid=None, img_path=None):
-        self.feats.append(np.asarray(feat))
+        # device arrays stay on device (async — nothing blocks until
+        # compute()); numpy inputs are kept as-is
+        self.feats.append(feat)
         self.pids.extend(np.asarray(pid).tolist())
         self.camids.extend(np.asarray(camid).tolist())
         if sceneid is not None:
@@ -161,7 +163,8 @@ class R1mAPEvaluator:
             self.img_paths.extend(list(img_path))
 
     def compute(self):
-        feats = jnp.asarray(np.concatenate(self.feats, axis=0), jnp.float32)
+        feats = jnp.concatenate(
+            [jnp.asarray(f) for f in self.feats], axis=0).astype(jnp.float32)
         if self.feat_norm:
             feats = feats / (jnp.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
         qf, gf = feats[: self.num_query], feats[self.num_query:]
