@@ -12,8 +12,15 @@ Kernel shape notes (v5e, measured):
   kernel lose to XLA's fused attention;
 * TPU grid programs execute **sequentially** on the core, so one program
   per (batch, head) = 4608 tiny pipelines at the bench shape; instead
-  each program processes a tile of T (batch·head) pairs as one batched
-  dot_general;
+  each program processes a tile of T batch rows × a 128-lane group of
+  heads as batched dot_generals;
+* **no head transpose**: operands stay in the [B, L, D] layout the
+  projections produce; heads are addressed by blocking the feature dim
+  (grid axis picks a 128-wide column group = 2 heads at hd=64, looped
+  inside the kernel with static lane slices). The round-1 layout
+  ([B·H, L, hd] via reshape+transpose) cost ~2.8 ms of pure layout-copy
+  per operand per step AND forced 64-lane VMEM tiling; removing it took
+  the eval forward 1312 → 1950 samples/s (46% → 68% MFU);
 * softmax stays fp32 on the VPU (parity with the fp32-LayerNorm AMP
   regime); sequences this short need no online-softmax streaming — the
   whole [T, L, L] tile fits VMEM.
@@ -40,24 +47,28 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[...]                             # [T, L, hd] compute dtype
-    k = k_ref[...]
-    v = v_ref[...]
-    logits = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale                                  # [T, L, Lk] fp32
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        probs.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[...] = o.astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int):
+    # block [T, L, CB] covers CB//hd heads; loop them with static lane
+    # slices (Mosaic requires the block's lane dim to be 128-divisible,
+    # so a per-head 64-lane block is not expressible directly)
+    for s in range(q_ref.shape[-1] // hd):
+        q = q_ref[:, :, s * hd:(s + 1) * hd]   # [T, L, hd] compute dtype
+        k = k_ref[:, :, s * hd:(s + 1) * hd]
+        v = v_ref[:, :, s * hd:(s + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                              # [T, L, Lk] fp32
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            probs.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, s * hd:(s + 1) * hd] = o.astype(o_ref.dtype)
 
 
 def _pick_tile(n: int, preferred: int = 16) -> int:
@@ -67,119 +78,132 @@ def _pick_tile(n: int, preferred: int = 16) -> int:
     return 1
 
 
-def _fused_attention_fwd_impl(q, k, v):
-    """q [B, H, Lq, hd], k/v [B, H, Lk, hd] → [B, H, Lq, hd] (q's dtype)."""
-    B, H, Lq, hd = q.shape
-    Lk = k.shape[2]
+def _pick_col_block(D: int, hd: int) -> int:
+    """Lane-dim block: smallest multiple of hd that is 128-divisible and
+    divides D (Mosaic's lane constraint); falls back to the full D."""
+    cb = hd
+    while cb % 128 != 0:
+        cb += hd
+    return cb if D % cb == 0 else D
+
+
+def _fused_attention_fwd_impl(q, k, v, num_heads):
+    """q [B, Lq, D], k/v [B, Lk, D] → [B, Lq, D] (q's dtype).
+
+    Heads are addressed by BLOCKING the feature dim (grid axis h picks
+    columns [h·hd, (h+1)·hd)) instead of reshape+transpose to
+    [B, H, L, hd] — the profile showed those transposes as pure
+    [B, H, L, hd]-layout copies at ~2.8 ms each on the train step."""
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
     scale = 1.0 / math.sqrt(hd)
-    T = _pick_tile(B * H)
+    CB = _pick_col_block(D, hd)
+    T = _pick_tile(B, preferred=16 if CB <= 256 else 4)
 
-    grid = (B * H // T,)
-    qf = q.reshape(B * H, Lq, hd)
-    kf = k.reshape(B * H, Lk, hd)
-    vf = v.reshape(B * H, Lk, hd)
-
-    kern = functools.partial(_attn_kernel, scale=scale)
+    grid = (B // T, D // CB)
+    kern = functools.partial(_attn_kernel, scale=scale, hd=hd)
     # interpret mode lets the CPU test suite validate kernel numerics
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B * H, Lq, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
         grid=grid,
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((T, Lq, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((T, Lk, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((T, Lk, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((T, Lq, CB), lambda i, h: (i, 0, h)),
+            pl.BlockSpec((T, Lk, CB), lambda i, h: (i, 0, h)),
+            pl.BlockSpec((T, Lk, CB), lambda i, h: (i, 0, h)),
         ],
-        out_specs=pl.BlockSpec((T, Lq, hd), lambda i: (i, 0, 0)),
-    )(qf, kf, vf)
-    return out.reshape(B, H, Lq, hd)
+        out_specs=pl.BlockSpec((T, Lq, CB), lambda i, h: (i, 0, h)),
+    )(q, k, v)
+    return out
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale: float):
-    """Fused attention backward for one (batch·head) tile.
+                     *, scale: float, hd: int):
+    """Fused attention backward for one (batch-tile, head-group) block.
 
-    Recompute P = softmax(scale·QKᵀ) in VMEM, then
+    Per head: recompute P = softmax(scale·QKᵀ) in VMEM, then
       dV = Pᵀ·g,  dP = g·Vᵀ,  dS = P∘(dP − rowsum(dP∘P)),
       dQ = scale·dS·K,  dK = scale·dSᵀ·Q
     — five MXU matmuls, softmax algebra fp32 on the VPU, nothing in HBM
     but the inputs and the three gradients."""
-    q = q_ref[...]                             # [T, L, hd]
-    k = k_ref[...]
-    v = v_ref[...]
-    g = g_ref[...]
     bt = (((2,), (2,)), ((0,), (0,)))          # contract last dims, batch 0
-    logits = jax.lax.dot_general(
-        q, k, bt, preferred_element_type=jnp.float32) * scale
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [T, L, Lk] fp32
-    pc = p.astype(v.dtype)
-    # dV = Pᵀ g : contract the q-length dim of both
-    dv = jax.lax.dot_general(
-        pc, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    # dP = g Vᵀ
-    dp = jax.lax.dot_general(
-        g, v, bt, preferred_element_type=jnp.float32)   # [T, L, Lk]
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dsc = ds.astype(q.dtype)
-    # dQ = scale · dS K : contract Lk
-    dq = jax.lax.dot_general(
-        dsc, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
-    # dK = scale · dSᵀ Q : contract Lq
-    dk = jax.lax.dot_general(
-        dsc, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
-    dq_ref[...] = dq.astype(dq_ref.dtype)
-    dk_ref[...] = dk.astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
+    for s in range(q_ref.shape[-1] // hd):
+        sl = slice(s * hd, (s + 1) * hd)
+        q = q_ref[:, :, sl]                    # [T, L, hd]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        g = g_ref[:, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, bt, preferred_element_type=jnp.float32) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)      # [T, L, Lk] fp32
+        pc = p.astype(v.dtype)
+        # dV = Pᵀ g : contract the q-length dim of both
+        dv = jax.lax.dot_general(
+            pc, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # dP = g Vᵀ
+        dp = jax.lax.dot_general(
+            g, v, bt, preferred_element_type=jnp.float32)   # [T, L, Lk]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = ds.astype(q.dtype)
+        # dQ = scale · dS K : contract Lk
+        dq = jax.lax.dot_general(
+            dsc, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        # dK = scale · dSᵀ Q : contract Lq
+        dk = jax.lax.dot_general(
+            dsc, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _fused_attention_bwd_impl(q, k, v, g):
-    B, H, Lq, hd = q.shape
-    Lk = k.shape[2]
+def _fused_attention_bwd_impl(q, k, v, g, num_heads):
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
     scale = 1.0 / math.sqrt(hd)
-    T = _pick_tile(B * H)
-    grid = (B * H // T,)
+    CB = _pick_col_block(D, hd)
+    T = _pick_tile(B, preferred=16 if CB <= 256 else 4)
+    grid = (B // T, D // CB)
 
-    def flat(x, L):
-        return x.reshape(B * H, L, hd)
-
-    kern = functools.partial(_attn_bwd_kernel, scale=scale)
+    kern = functools.partial(_attn_bwd_kernel, scale=scale, hd=hd)
     interpret = jax.default_backend() not in ("tpu", "axon")
-    spec_q = pl.BlockSpec((T, Lq, hd), lambda i: (i, 0, 0))
-    spec_k = pl.BlockSpec((T, Lk, hd), lambda i: (i, 0, 0))
+    spec_q = pl.BlockSpec((T, Lq, CB), lambda i, h: (i, 0, h))
+    spec_k = pl.BlockSpec((T, Lk, CB), lambda i, h: (i, 0, h))
     dq, dk, dv = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, Lq, hd), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Lk, hd), k.dtype),
-            jax.ShapeDtypeStruct((B * H, Lk, hd), v.dtype),
+            jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Lk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Lk, D), v.dtype),
         ),
         grid=grid,
         in_specs=[spec_q, spec_k, spec_k, spec_q],
         out_specs=(spec_q, spec_k, spec_k),
         interpret=interpret,
-    )(flat(q, Lq), flat(k, Lk), flat(v, Lk), flat(g, Lq))
-    return (dq.reshape(B, H, Lq, hd), dk.reshape(B, H, Lk, hd),
-            dv.reshape(B, H, Lk, hd))
+    )(q, k, v, g)
+    return dq, dk, dv
 
 
-@jax.custom_vjp
-def _fused_attention(q, k, v):
-    return _fused_attention_fwd_impl(q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention(q, k, v, num_heads):
+    return _fused_attention_fwd_impl(q, k, v, num_heads)
 
 
-def _fwd(q, k, v):
-    return _fused_attention_fwd_impl(q, k, v), (q, k, v)
+def _fwd(q, k, v, num_heads):
+    return _fused_attention_fwd_impl(q, k, v, num_heads), (q, k, v)
 
 
-def _bwd(res, g):
+def _bwd(num_heads, res, g):
     q, k, v = res
-    return _fused_attention_bwd_impl(q, k, v, g.astype(q.dtype))
+    return _fused_attention_bwd_impl(q, k, v, g.astype(q.dtype), num_heads)
 
 
 _fused_attention.defvjp(_fwd, _bwd)
@@ -189,13 +213,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     num_heads: int, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Post-projection fused attention. q [B, Lq, D], k/v [B, Lk, D].
     Inputs arrive fp32 from the projections; matmuls run in
-    ``compute_dtype`` (softmax always fp32 inside the kernel)."""
-    B, Lq, D = q.shape
-    Lk = k.shape[1]
-    hd = D // num_heads
+    ``compute_dtype`` (softmax always fp32 inside the kernel). No head
+    reshape/transpose happens outside the kernel — heads are a grid
+    axis over the feature columns."""
     cd = jnp.dtype(compute_dtype)
-    qh = q.astype(cd).reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
-    kh = k.astype(cd).reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
-    vh = v.astype(cd).reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
-    out = _fused_attention(qh, kh, vh)
-    return out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return _fused_attention(q.astype(cd), k.astype(cd), v.astype(cd),
+                            num_heads)
