@@ -111,7 +111,11 @@ def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool):
     # attention (and optionally the MLP fc) during the backward replay
     x = x + checkpoint_name(attn_out, "attn_out")
     h = layer_norm(params["ln_2"], x)
-    h = quick_gelu(linear(params["mlp"]["fc_kernel"], params["mlp"]["fc_bias"], h, compute_dtype))
+    # bf16 hidden: the [.., L, 4W] tensor crosses HBM at half the bytes
+    # (f32 accumulation + f32 bias happen before the cast; the next
+    # matmul consumes bf16 regardless)
+    h = quick_gelu(linear(params["mlp"]["fc_kernel"], params["mlp"]["fc_bias"],
+                          h, compute_dtype, out_dtype=compute_dtype))
     h = checkpoint_name(h, "mlp_hidden")
     h = linear(params["mlp"]["proj_kernel"], params["mlp"]["proj_bias"], h, compute_dtype)
     if "adapter" in params:

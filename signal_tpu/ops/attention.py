@@ -46,8 +46,13 @@ def _prec(compute_dtype):
             if jnp.dtype(compute_dtype) == jnp.float32 else None)
 
 
-def linear(kernel: jnp.ndarray, bias, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """x @ kernel + bias with bf16 matmul / fp32 accumulation."""
+def linear(kernel: jnp.ndarray, bias, x: jnp.ndarray,
+           compute_dtype=jnp.bfloat16, out_dtype=None) -> jnp.ndarray:
+    """x @ kernel + bias with bf16 matmul / fp32 accumulation.
+
+    ``out_dtype``: cast the (f32-accumulated, f32-bias-added) result —
+    used to keep wide intermediates (MLP hidden, q/k/v) in bf16 so they
+    cross HBM at half the bytes (the consumer casts to bf16 anyway)."""
     y = jnp.dot(
         x.astype(compute_dtype),
         kernel.astype(compute_dtype),
@@ -56,7 +61,7 @@ def linear(kernel: jnp.ndarray, bias, x: jnp.ndarray, compute_dtype=jnp.bfloat16
     )
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return y
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def _attention_core(q, k, v, num_heads: int, compute_dtype=jnp.bfloat16,
@@ -113,6 +118,11 @@ def mha(
     if kv_in is None:
         kv_in = q_in
     D = q_in.shape[-1]
+    # NOTE: a packed single [D, 3D] projection GEMM feeding the Pallas
+    # kernel via column-window BlockSpecs was measured SLOWER in training
+    # (453 vs 474 samples/s): its backward needs a dq|dk|dv concatenate
+    # that outweighs the forward's saved bytes. Three split GEMMs let
+    # each gradient feed its weight-grad GEMM directly.
     wq, wk, wv = jnp.split(params["qkv_kernel"], 3, axis=1)
     bq, bk, bv = jnp.split(params["qkv_bias"], 3, axis=0)
     q = linear(wq, bq, q_in, compute_dtype)
@@ -124,8 +134,8 @@ def mha(
         out = flash_attention(q, k, v, num_heads=num_heads,
                               compute_dtype=compute_dtype)
     else:
-        out = _attention_core(q, k, v, num_heads, compute_dtype, mask=mask,
-                              scale=scale)
+        out = _attention_core(q, k, v, num_heads, compute_dtype,
+                              mask=mask, scale=scale)
     return linear(params["out_kernel"], params["out_bias"], out, compute_dtype)
 
 
