@@ -81,3 +81,27 @@ def test_kernel_gradients_bf16_track_fp32():
 
 def _attention_core_wrap(q, k, v, *, num_heads, compute_dtype):
     return _attention_core(q, k, v, num_heads, compute_dtype=compute_dtype)
+
+
+def test_column_block_shapes():
+    """_pick_col_block: 128-divisible head groups, full-D fallback."""
+    from signal_tpu.ops.flash_attention import _pick_col_block
+
+    assert _pick_col_block(768, 64) == 128    # ViT-B: 2 heads per block
+    assert _pick_col_block(384, 64) == 128    # small ViT: 2 heads
+    assert _pick_col_block(768, 128) == 128   # hd already lane-sized
+    assert _pick_col_block(384, 96) == 384    # 96*k hits 384 before 128|cb
+    assert _pick_col_block(360, 60) == 360    # no 128-divisible group
+
+
+def test_flash_attention_odd_head_dims():
+    """Head dims that don't pack into 128 lanes fall back to full-D
+    blocks and still match the XLA core."""
+    for (D, H) in ((360, 6), (384, 4), (256, 4)):
+        B, L = 2, 9
+        q, k, v = (_rand((B, L, D), 20 + i) for i in range(3))
+        out = flash_attention(q, k, v, num_heads=H,
+                              compute_dtype=jnp.float32)
+        ref = _attention_core(q, k, v, H, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
