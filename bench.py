@@ -120,6 +120,7 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
     ~190 3-modal samples/s (scripts/bench_pipeline.py), so feeding the
     ~1310/s chip rate needs ≈7 decode cores (a v5e host has 112)."""
     import os
+    import shutil
     import tempfile
 
     import numpy as np
@@ -162,10 +163,13 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
         float(jnp.sum(acc))  # sync
         return count
 
-    _retry(run)  # compile + warm page cache
-    t0 = time.perf_counter()
-    count = run()
-    dt = time.perf_counter() - t0
+    try:
+        _retry(run)  # compile + warm page cache
+        t0 = time.perf_counter()
+        count = run()
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return count / dt, ncpu
 
 

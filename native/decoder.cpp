@@ -150,31 +150,43 @@ std::vector<float>& tls_scratch() {
   return buf;
 }
 
-void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
-                      int out_h, int out_w, const float* mean,
-                      const float* stdv, float* out, int filter) {
+inline float clip8f(float v) {  // PIL clip8: round half up, clamp to u8
+  v += 0.5f;
+  if (v <= 0.f) return 0.f;
+  if (v >= 255.f) return 255.f;
+  return static_cast<float>(static_cast<int>(v));
+}
+
+// Shared separable-resample core. PIL semantics: horizontal pass then
+// vertical pass; ``quant_intermediate`` reproduces PIL's uint8
+// quantization between the passes (the u8 output path — matters for the
+// negative-lobed cubic kernel; the float path keeps full precision).
+// ``finish(c, oy, row)`` writes one out_w-wide channel row to the
+// destination — the only difference between the float and u8 outputs.
+template <typename Finish>
+void resample_core(const uint8_t* src, int sw, int sh, int cx0, int cx1,
+                   int out_h, int out_w, int filter, bool quant_intermediate,
+                   Finish&& finish) {
   const int crop_w = cx1 - cx0;
-  const size_t plane = static_cast<size_t>(out_h) * out_w;
-  // (v/255 - mean)/std  ==  v*a + b  with a = 1/(255*std), b = -mean/std
-  float na[3], nb[3];
-  for (int c = 0; c < 3; ++c) {
-    na[c] = 1.0f / (255.0f * stdv[c]);
-    nb[c] = -mean[c] / stdv[c];
-  }
 
   if (crop_w == out_w && sh == out_h) {
     // scale == 1 makes both the triangle and the cubic kernel an exact
-    // Kronecker delta — skip resampling, just deinterleave + normalize
+    // Kronecker delta — skip resampling, just deinterleave
+    std::vector<float>& tmp = tls_scratch();
+    tmp.resize(static_cast<size_t>(3) * out_w);
+    float* r0 = tmp.data();
+    float* r1 = r0 + out_w;
+    float* r2 = r1 + out_w;
     for (int y = 0; y < out_h; ++y) {
       const uint8_t* row = src + (static_cast<size_t>(y) * sw + cx0) * 3;
-      float* o0 = out + 0 * plane + static_cast<size_t>(y) * out_w;
-      float* o1 = out + 1 * plane + static_cast<size_t>(y) * out_w;
-      float* o2 = out + 2 * plane + static_cast<size_t>(y) * out_w;
       for (int x = 0; x < out_w; ++x) {
-        o0[x] = row[3 * x + 0] * na[0] + nb[0];
-        o1[x] = row[3 * x + 1] * na[1] + nb[1];
-        o2[x] = row[3 * x + 2] * na[2] + nb[2];
+        r0[x] = row[3 * x + 0];
+        r1[x] = row[3 * x + 1];
+        r2[x] = row[3 * x + 2];
       }
+      finish(0, y, r0);
+      finish(1, y, r1);
+      finish(2, y, r2);
     }
     return;
   }
@@ -184,90 +196,6 @@ void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
 
   // horizontal pass, deinterleaving to planar [3, sh, out_w] so the
   // vertical pass runs branchless over contiguous rows (vectorizable)
-  std::vector<float>& tmp = tls_scratch();
-  tmp.resize(static_cast<size_t>(3) * sh * out_w);
-  const size_t tplane = static_cast<size_t>(sh) * out_w;
-  for (int y = 0; y < sh; ++y) {
-    const uint8_t* row = src + (static_cast<size_t>(y) * sw + cx0) * 3;
-    float* r0 = tmp.data() + 0 * tplane + static_cast<size_t>(y) * out_w;
-    float* r1 = tmp.data() + 1 * tplane + static_cast<size_t>(y) * out_w;
-    float* r2 = tmp.data() + 2 * tplane + static_cast<size_t>(y) * out_w;
-    for (int ox = 0; ox < out_w; ++ox) {
-      const float* w = fx.weights.data() + static_cast<size_t>(ox) * fx.kmax;
-      const uint8_t* p = row + static_cast<size_t>(fx.starts[ox]) * 3;
-      const int cnt = fx.counts[ox];
-      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
-      for (int k = 0; k < cnt; ++k) {
-        const float wk = w[k];
-        a0 += wk * p[3 * k + 0];
-        a1 += wk * p[3 * k + 1];
-        a2 += wk * p[3 * k + 2];
-      }
-      r0[ox] = a0;
-      r1[ox] = a1;
-      r2[ox] = a2;
-    }
-  }
-
-  // vertical pass + normalize → CHW; inner loops are contiguous over ox
-  for (int c = 0; c < 3; ++c) {
-    const float* tc = tmp.data() + static_cast<size_t>(c) * tplane;
-    for (int oy = 0; oy < out_h; ++oy) {
-      const float* w = fy.weights.data() + static_cast<size_t>(oy) * fy.kmax;
-      const int y0 = fy.starts[oy];
-      const int cnt = fy.counts[oy];
-      float* orow = out + c * plane + static_cast<size_t>(oy) * out_w;
-      const float* trow = tc + static_cast<size_t>(y0) * out_w;
-      const float w0 = w[0];
-      for (int ox = 0; ox < out_w; ++ox) orow[ox] = w0 * trow[ox];
-      for (int k = 1; k < cnt; ++k) {
-        const float wk = w[k];
-        const float* tk = tc + static_cast<size_t>(y0 + k) * out_w;
-        for (int ox = 0; ox < out_w; ++ox) orow[ox] += wk * tk[ox];
-      }
-      for (int ox = 0; ox < out_w; ++ox) {
-        float v = orow[ox];
-        if (v < 0.f) v = 0.f;            // PIL clips to uint8 after resample
-        if (v > 255.f) v = 255.f;
-        orow[ox] = v * na[c] + nb[c];
-      }
-    }
-  }
-}
-
-inline float clip8f(float v) {  // PIL clip8: round half up, clamp to u8
-  v += 0.5f;
-  if (v <= 0.f) return 0.f;
-  if (v >= 255.f) return 255.f;
-  return static_cast<float>(static_cast<int>(v));
-}
-
-// Resample to uint8 CHW (PIL rounds to uint8 after each resample — this
-// output is bit-closer to the reference transform than the float path).
-// Normalization then runs on the TPU, fused into the patch-embed conv:
-// shipping uint8 instead of float32 quarters host->device transfer.
-void resize_to_u8(const uint8_t* src, int sw, int sh, int cx0, int cx1,
-                  int out_h, int out_w, uint8_t* out, int filter) {
-  const int crop_w = cx1 - cx0;
-  const size_t plane = static_cast<size_t>(out_h) * out_w;
-
-  if (crop_w == out_w && sh == out_h) {  // delta kernel: deinterleave only
-    for (int y = 0; y < out_h; ++y) {
-      const uint8_t* row = src + (static_cast<size_t>(y) * sw + cx0) * 3;
-      uint8_t* o0 = out + 0 * plane + static_cast<size_t>(y) * out_w;
-      uint8_t* o1 = out + 1 * plane + static_cast<size_t>(y) * out_w;
-      uint8_t* o2 = out + 2 * plane + static_cast<size_t>(y) * out_w;
-      for (int x = 0; x < out_w; ++x) {
-        o0[x] = row[3 * x + 0];
-        o1[x] = row[3 * x + 1];
-        o2[x] = row[3 * x + 2];
-      }
-    }
-    return;
-  }
-
-  const FilterTable& fx = cached_filter(crop_w, out_w, filter);
-  const FilterTable& fy = cached_filter(sh, out_h, filter);
   std::vector<float>& tmp = tls_scratch();
   tmp.resize(static_cast<size_t>(3) * sh * out_w + out_w);
   const size_t tplane = static_cast<size_t>(sh) * out_w;
@@ -288,21 +216,25 @@ void resize_to_u8(const uint8_t* src, int sw, int sh, int cx0, int cx1,
         a1 += wk * p[3 * k + 1];
         a2 += wk * p[3 * k + 2];
       }
-      // PIL quantizes the horizontal pass to uint8 (clip8) before the
-      // vertical pass — reproduce it for bit-parity with the reference
-      // transforms (matters for the negative-lobed cubic kernel)
-      r0[ox] = clip8f(a0);
-      r1[ox] = clip8f(a1);
-      r2[ox] = clip8f(a2);
+      if (quant_intermediate) {
+        r0[ox] = clip8f(a0);
+        r1[ox] = clip8f(a1);
+        r2[ox] = clip8f(a2);
+      } else {
+        r0[ox] = a0;
+        r1[ox] = a1;
+        r2[ox] = a2;
+      }
     }
   }
+
+  // vertical pass → one channel row at a time; inner loops contiguous
   for (int c = 0; c < 3; ++c) {
     const float* tc = tmp.data() + static_cast<size_t>(c) * tplane;
     for (int oy = 0; oy < out_h; ++oy) {
       const float* w = fy.weights.data() + static_cast<size_t>(oy) * fy.kmax;
       const int y0 = fy.starts[oy];
       const int cnt = fy.counts[oy];
-      uint8_t* orow = out + c * plane + static_cast<size_t>(oy) * out_w;
       const float* trow = tc + static_cast<size_t>(y0) * out_w;
       const float w0 = w[0];
       for (int ox = 0; ox < out_w; ++ox) vrow[ox] = w0 * trow[ox];
@@ -311,13 +243,52 @@ void resize_to_u8(const uint8_t* src, int sw, int sh, int cx0, int cx1,
         const float* tk = tc + static_cast<size_t>(y0 + k) * out_w;
         for (int ox = 0; ox < out_w; ++ox) vrow[ox] += wk * tk[ox];
       }
-      for (int ox = 0; ox < out_w; ++ox) {
-        const float v = vrow[ox] + 0.5f;  // PIL clip8: round half up
-        orow[ox] = v <= 0.f ? 0 : (v >= 255.f ? 255
-                                   : static_cast<uint8_t>(v));
-      }
+      finish(c, oy, vrow);
     }
   }
+}
+
+void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
+                      int out_h, int out_w, const float* mean,
+                      const float* stdv, float* out, int filter) {
+  const size_t plane = static_cast<size_t>(out_h) * out_w;
+  // (v/255 - mean)/std  ==  v*a + b  with a = 1/(255*std), b = -mean/std
+  float na[3], nb[3];
+  for (int c = 0; c < 3; ++c) {
+    na[c] = 1.0f / (255.0f * stdv[c]);
+    nb[c] = -mean[c] / stdv[c];
+  }
+  resample_core(src, sw, sh, cx0, cx1, out_h, out_w, filter,
+                /*quant_intermediate=*/false,
+                [&](int c, int oy, const float* row) {
+    float* orow = out + c * plane + static_cast<size_t>(oy) * out_w;
+    const float a = na[c], b = nb[c];
+    for (int ox = 0; ox < out_w; ++ox) {
+      float v = row[ox];
+      if (v < 0.f) v = 0.f;            // PIL clips to uint8 after resample
+      if (v > 255.f) v = 255.f;
+      orow[ox] = v * a + b;
+    }
+  });
+}
+
+// Resample to uint8 CHW (PIL rounds to uint8 after each resample — this
+// output is bit-exact with the reference transform). Normalization then
+// runs on the TPU, fused into the patch-embed conv: shipping uint8
+// instead of float32 quarters host->device transfer.
+void resize_to_u8(const uint8_t* src, int sw, int sh, int cx0, int cx1,
+                  int out_h, int out_w, uint8_t* out, int filter) {
+  const size_t plane = static_cast<size_t>(out_h) * out_w;
+  resample_core(src, sw, sh, cx0, cx1, out_h, out_w, filter,
+                /*quant_intermediate=*/true,
+                [&](int c, int oy, const float* row) {
+    uint8_t* orow = out + c * plane + static_cast<size_t>(oy) * out_w;
+    for (int ox = 0; ox < out_w; ++ox) {
+      const float v = row[ox] + 0.5f;  // PIL clip8: round half up
+      orow[ox] = v <= 0.f ? 0 : (v >= 255.f ? 255
+                                 : static_cast<uint8_t>(v));
+    }
+  });
 }
 
 void parallel_for(int n, int num_threads, const std::function<void(int)>& fn) {

@@ -63,15 +63,8 @@ def train_main(argv=None):
     logger.info("dataset: %s classes=%d cams=%d views=%d query=%d",
                 cfg.DATASETS.NAMES, num_classes, camera_num, view_num, num_query)
 
-    if cfg.PARALLEL.MODEL_AXIS > 1 and cfg.MODEL.USE_PALLAS_ATTENTION:
-        # GSPMD cannot partition a Pallas custom call along the sharded
-        # feature dim — it would silently all-gather q/k/v per layer and
-        # erase the TP win. XLA's fused attention partitions cleanly.
-        logger.warning("MODEL_AXIS=%d > 1: disabling the Pallas attention "
-                       "kernel (custom calls don't partition under tensor "
-                       "parallelism); using XLA attention",
-                       cfg.PARALLEL.MODEL_AXIS)
-        cfg.MODEL.USE_PALLAS_ATTENTION = False
+    # (ModelSpec.from_config force-disables the Pallas attention kernel
+    # when PARALLEL.MODEL_AXIS > 1 — custom calls don't partition)
     spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
 
     mesh = None
@@ -113,10 +106,6 @@ def test_main(argv=None):
     (_, _, val_loader, num_query, num_classes, camera_num,
      view_num) = make_dataloader(cfg, num_shards=jax.process_count(),
                                  shard_index=jax.process_index())
-    if cfg.PARALLEL.MODEL_AXIS > 1 and cfg.MODEL.USE_PALLAS_ATTENTION:
-        logger.warning("MODEL_AXIS>1: disabling Pallas attention (custom "
-                       "calls don't partition under tensor parallelism)")
-        cfg.MODEL.USE_PALLAS_ATTENTION = False
     spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
     params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
 

@@ -236,7 +236,8 @@ class _ShardedValLoader:
         self._inner = _BatchLoader(
             records, transform, mini, lambda: list(local_idx),
             drop_last=True, seed=seed, num_threads=num_threads,
-            include_paths=True, emit_u8=emit_u8)
+            include_paths=True, emit_u8=emit_u8,
+            num_samples_hint=len(local_idx))
 
     def __len__(self) -> int:
         return len(self._padded) // self.global_bs

@@ -28,6 +28,16 @@ def _load():
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:  # stale prebuilt .so (older C ABI) → unavailable, PIL fallback
+        lib.signal_decode_batch, lib.signal_decode_batch_packed
+        lib.signal_decode_batch_u8, lib.signal_decode_batch_packed_u8
+    except AttributeError:
+        import logging
+
+        logging.getLogger("signal_tpu.data").warning(
+            "%s is from an older build (missing symbols) — rebuild with "
+            "`make -C native`; falling back to the PIL pipeline", _LIB_PATH)
+        return None
     for fn in (lib.signal_decode_batch, lib.signal_decode_batch_packed):
         fn.restype = ctypes.c_int
         fn.argtypes = [

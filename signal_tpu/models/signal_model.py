@@ -30,6 +30,24 @@ from signal_tpu.ops.attention import trunc_normal
 MODALITIES = ("RGB", "NI", "TI")
 
 
+def _resolve_use_flash(cfg) -> bool:
+    """USE_PALLAS_ATTENTION, force-disabled under tensor parallelism:
+    GSPMD cannot partition the custom call along the TP-sharded feature
+    dim (it would silently all-gather q/k/v per layer); XLA's fused
+    attention partitions cleanly. Lives here so every entry point that
+    builds a ModelSpec (CLIs, bench, scripts) applies the rule."""
+    use = bool(cfg.MODEL.USE_PALLAS_ATTENTION)
+    if use and int(getattr(cfg.PARALLEL, "MODEL_AXIS", 1)) > 1:
+        import logging
+
+        logging.getLogger("signal_tpu").warning(
+            "PARALLEL.MODEL_AXIS=%d > 1: disabling the Pallas attention "
+            "kernel (custom calls don't partition under tensor "
+            "parallelism); using XLA attention", cfg.PARALLEL.MODEL_AXIS)
+        return False
+    return use
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
     """Hashable static model description (safe as a jit static arg)."""
@@ -131,7 +149,7 @@ class ModelSpec:
             sie_coe=float(cfg.MODEL.SIE_COE),
             stage=cfg.MODEL.stageName.strip(),
             compute_dtype=cfg.MODEL.COMPUTE_DTYPE,
-            use_flash=bool(cfg.MODEL.USE_PALLAS_ATTENTION),
+            use_flash=_resolve_use_flash(cfg),
             drop_path=float(cfg.MODEL.DROP_PATH),
             adapter=bool(cfg.MODEL.ADAPTER),
             prompt=bool(cfg.MODEL.PROMPT),

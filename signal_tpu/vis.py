@@ -129,7 +129,7 @@ def render_ranked_list_grids(distmat: np.ndarray, query_records,
         import matplotlib.patches as mpatches
         import matplotlib.pyplot as plt
     except ImportError:
-        return None
+        return []
     from signal_tpu.data.loader import read_modalities
 
     os.makedirs(save_dir, exist_ok=True)
