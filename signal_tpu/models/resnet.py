@@ -1,11 +1,13 @@
-"""ResNet-50 backbone — the representative of the reference's CNN zoo.
+"""ResNet-50/101/152 backbones — the reference CNN zoo's bottleneck family.
 
 The reference ships 22 classic CNN backbones under
 `modeling/backbones/basic_cnn_params/` (maxingan2412/Signal) that its
 model factory never reaches (`make_model.py:294-301` lists only ViT
 flavors). Here the classic ReID CNN — ResNet-50 with last-stride-1
 (bag-of-tricks convention, `basic_cnn_params/resnet.py` semantics) — is
-a first-class backbone: select `MODEL.TRANSFORMER_TYPE: 'resnet50'`.
+a first-class backbone: select `MODEL.TRANSFORMER_TYPE: 'resnet50'`
+(or 'resnet101' / 'resnet152' — the forward and torchvision importer
+are structure-driven, so one implementation serves the family).
 
 TPU-native shape: convolutions run bf16 on the MXU with fp32
 accumulation; BatchNorm is fp32 with running statistics carried as an
@@ -24,6 +26,9 @@ import jax
 import jax.numpy as jnp
 
 BOTTLENECK_COUNTS = (3, 4, 6, 3)
+# depth (as spec.layers) → per-stage bottleneck counts
+RESNET_BLOCK_COUNTS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                       152: (3, 8, 36, 3)}
 EXPANSION = 4
 
 
@@ -64,26 +69,36 @@ def _conv(x, kernel, stride=1, compute_dtype=jnp.bfloat16):
             if jnp.dtype(compute_dtype) == jnp.float32 else None)
     kh = kernel.shape[0]
     pad = (kh - 1) // 2
+    # bf16 in/out then cast (fp32 accumulation happens inside the MXU);
+    # preferred_element_type=f32 is NOT usable here — its conv-transpose
+    # grad rule rejects the mixed bf16/fp32 operands (same note as the
+    # ViT patch embed, models/vit.py)
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype), kernel.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
         precision=prec,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
 
 
-def init_resnet50_params(key, last_stride: int = 1) -> Tuple[dict, dict]:
-    """→ (params, bn_state), both pytrees with matching structure."""
-    keys = iter(jax.random.split(key, 64))
+def init_resnet50_params(key, last_stride: int = 1,
+                         block_counts: Tuple[int, ...] = BOTTLENECK_COUNTS,
+                         ) -> Tuple[dict, dict]:
+    """→ (params, bn_state), both pytrees with matching structure.
+
+    ``block_counts`` selects the bottleneck family member: (3,4,6,3) =
+    resnet50, (3,4,23,3) = resnet101, (3,8,36,3) = resnet152 — the
+    forward and the torchvision importer are structure-driven, so the
+    whole family shares one implementation."""
+    keys = iter(jax.random.split(key, 256))
     params: dict = {"stem": {"conv": _conv_init(next(keys), (7, 7, 3, 64))}}
     state: dict = {"stem": {}}
     params["stem"]["bn"], state["stem"]["bn"] = _bn_init(64)
 
     cin = 64
     widths = (64, 128, 256, 512)
-    for si, (w, n_blocks) in enumerate(zip(widths, BOTTLENECK_COUNTS)):
+    for si, (w, n_blocks) in enumerate(zip(widths, block_counts)):
         stage_p, stage_s = [], []
         stride = 1 if si == 0 else (last_stride if si == 3 else 2)
         for bi in range(n_blocks):
@@ -185,7 +200,7 @@ def load_torchvision_resnet50(path: str, params, bn_state):
     p["stem"]["conv"] = conv("conv1.weight")
     p["stem"]["bn"], s["stem"]["bn"] = bn("bn1")
     for si in range(4):
-        for bi in range(BOTTLENECK_COUNTS[si]):
+        for bi in range(len(p[f"layer{si + 1}"])):
             pre = f"layer{si + 1}.{bi}"
             blk_p = p[f"layer{si + 1}"][bi]
             blk_s = s[f"layer{si + 1}"][bi]

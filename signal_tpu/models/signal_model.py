@@ -101,12 +101,13 @@ class ModelSpec:
         mlp_ratio, qk_scale = 4.0, None
         if "ViT-B-16" in ttype:
             backbone, feat_dim = "clip", 512          # `make_model.py:49-52`
-        elif ttype == "resnet50":
-            # CNN path (representative of the reference's backbone zoo);
+        elif ttype in ("resnet50", "resnet101", "resnet152"):
+            # CNN path (the reference zoo's bottleneck-ResNet family);
             # last-stride-1 → /16 grid, 2048-dim features
             backbone, feat_dim = "resnet", 2048
             h = cfg.INPUT.SIZE_TRAIN[0] // 16
             w = cfg.INPUT.SIZE_TRAIN[1] // 16
+            layers = {"resnet50": 50, "resnet101": 101, "resnet152": 152}[ttype]
         elif ttype.startswith("t2t"):
             backbone, feat_dim = "t2t", 384
             width, heads = 384, 6
@@ -224,9 +225,10 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
             camera_num=spec.camera_num if spec.sie_camera else 0,
         )
     elif spec.backbone == "resnet":
-        from signal_tpu.models.resnet import init_resnet50_params
+        from signal_tpu.models.resnet import RESNET_BLOCK_COUNTS, init_resnet50_params
 
-        params["base"], bn_state["base"] = init_resnet50_params(ks[0])
+        params["base"], bn_state["base"] = init_resnet50_params(
+            ks[0], block_counts=RESNET_BLOCK_COUNTS[spec.layers])
     else:
         from signal_tpu.models.vit_imagenet import init_imagenet_vit_params
 

@@ -180,3 +180,46 @@ def test_resnet_param_groups_and_adam_step():
         trainable_tree=tr_tree, lr_a=jnp.float32(0.0), lr_b=jnp.float32(1.0))
     moved = np.asarray(new_params["base"]["layer1"][0]["conv1"])
     assert not np.allclose(moved, np.asarray(params["base"]["layer1"][0]["conv1"]))
+
+
+def test_resnet_family_depths():
+    """resnet101/152 share the structure-driven forward + importer."""
+    import jax
+    import jax.numpy as jnp
+
+    from signal_tpu.models.resnet import (
+        RESNET_BLOCK_COUNTS, init_resnet50_params, resnet50_forward)
+
+    params, state = init_resnet50_params(
+        jax.random.PRNGKey(0), block_counts=RESNET_BLOCK_COUNTS[101])
+    assert len(params["layer3"]) == 23
+    x = jnp.zeros((2, 3, 64, 32), jnp.float32)
+    tokens, pooled, _ = resnet50_forward(params, state, x)
+    assert tokens.shape == (2, (64 // 16) * (32 // 16), 2048)
+    assert pooled.shape == (2, 2048)
+
+    from signal_tpu.config import Config
+    from signal_tpu.models.signal_model import ModelSpec
+
+    cfg = Config()
+    cfg.MODEL.TRANSFORMER_TYPE = "resnet101"
+    cfg.INPUT.SIZE_TRAIN = (64, 32)
+    spec = ModelSpec.from_config(cfg, num_classes=4, camera_num=2)
+    assert spec.backbone == "resnet" and spec.layers == 101
+
+
+def test_resnet_backward_through_trunk():
+    """Regression: preferred_element_type=f32 on bf16 conv operands breaks
+    the conv-transpose grad rule — the trunk must be differentiable."""
+    import jax
+
+    params, state = init_resnet50_params(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 3, 64, 32), jnp.float32)
+
+    def loss(p):
+        _, pooled, _ = resnet50_forward(p, state, x, training=True)
+        return jnp.sum(pooled ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = np.asarray(jnp.abs(g["stem"]["conv"]).max())
+    assert np.isfinite(gnorm) and gnorm > 0
