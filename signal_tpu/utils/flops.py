@@ -49,6 +49,34 @@ def flash_attention_flops(spec, batch_size: int, *, train: bool = False) -> floa
     return fwd + bwd + remat
 
 
+def _resnet_analytic_flops(spec, batch_size: int) -> float:
+    """Conv matmul FLOPs (2·MACs) of one 3-modal bottleneck-ResNet eval
+    forward (last-stride-1). Cross-check: resnet50 at 224×224 with
+    standard strides ≈ 4.09 GMACs."""
+    from signal_tpu.models.resnet import EXPANSION, RESNET_BLOCK_COUNTS
+
+    counts = RESNET_BLOCK_COUNTS[spec.layers]
+    R = 3 * batch_size
+    H, W = spec.img_h, spec.img_w
+    fl = 2.0 * (7 * 7 * 3) * 64 * (H // 2) * (W // 2)    # stem
+    h, w = H // 4, W // 4                                 # after maxpool
+    cin = 64
+    widths = (64, 128, 256, 512)
+    for si, (wd, n) in enumerate(zip(widths, counts)):
+        stride = 1 if si == 0 else (1 if si == 3 else 2)  # last_stride=1
+        for bi in range(n):
+            s = stride if bi == 0 else 1
+            ho, wo = h // s, w // s
+            fl += 2.0 * cin * wd * h * w                  # conv1 1x1 (pre-stride)
+            fl += 2.0 * 9 * wd * wd * ho * wo             # conv2 3x3
+            fl += 2.0 * wd * (wd * EXPANSION) * ho * wo   # conv3 1x1
+            if bi == 0:
+                fl += 2.0 * cin * (wd * EXPANSION) * ho * wo  # downsample
+            cin = wd * EXPANSION
+            h, w = ho, wo
+    return R * fl
+
+
 def signal_analytic_flops(spec, batch_size: int, *, train: bool = False) -> float:
     """Analytic matmul/conv FLOPs (2·MACs) of one Signal forward — and of
     one full train step when ``train`` (backward = 2× the forward matmul
@@ -59,6 +87,10 @@ def signal_analytic_flops(spec, batch_size: int, *, train: bool = False) -> floa
     inside Pallas custom calls — it under-reports the 12-layer ViT by ~8×.
     Cross-check: ViT-B/16 ≈ 17.6 GMACs at 197 tokens ⇒ 24·W²·T·12 here.
     """
+    if spec.backbone == "resnet":
+        fwd = _resnet_analytic_flops(spec, batch_size)
+        # resnet path has no per-block remat: fwd + bwd(2x)
+        return fwd if not train else fwd * 3.0
     W, D, depth = spec.width, spec.feat_dim, spec.layers
     L = spec.h * spec.w
     T = L + 1
