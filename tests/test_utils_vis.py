@@ -131,3 +131,18 @@ def test_setup_logger(tmp_path):
     for h in list(lg.handlers):
         lg.removeHandler(h)
     logging.getLogger("signal_tpu_test_xyz").handlers.clear()
+
+
+def test_resnet_analytic_flops():
+    """resnet50 at 256x128 last-stride-1 ≈ 8.1 GFLOPs/image (canonical
+    4.09 GMACs at 224² scaled + 4x stage-4); train = fwd + bwd, no remat."""
+    from signal_tpu.config import Config
+    from signal_tpu.models.signal_model import ModelSpec
+    from signal_tpu.utils.flops import signal_analytic_flops
+
+    cfg = Config()
+    cfg.MODEL.TRANSFORMER_TYPE = "resnet50"
+    spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
+    f = signal_analytic_flops(spec, 1)
+    assert 20e9 < f < 30e9            # 3 modalities x ~8.1 G
+    assert signal_analytic_flops(spec, 1, train=True) == 3.0 * f
