@@ -63,8 +63,8 @@ def train_main(argv=None):
     logger.info("dataset: %s classes=%d cams=%d views=%d query=%d",
                 cfg.DATASETS.NAMES, num_classes, camera_num, view_num, num_query)
 
-    # (ModelSpec.from_config force-disables the Pallas attention kernel
-    # when PARALLEL.MODEL_AXIS > 1 — custom calls don't partition)
+    # (under PARALLEL.MODEL_AXIS > 1 the Pallas attention kernel runs
+    # per-shard via shard_map — see ops/flash_attention.py)
     spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
 
     mesh = None

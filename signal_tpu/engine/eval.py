@@ -21,11 +21,14 @@ from signal_tpu.models.signal_model import ModelSpec, forward_eval
 logger = logging.getLogger("signal_tpu.eval")
 
 
-def make_eval_step(spec: ModelSpec, normalize=None):
+def make_eval_step(spec: ModelSpec, normalize=None, mesh=None):
     """``normalize``: optional (mean, std) tuple — lets the loader ship
     uint8 pixels and run torchvision-``Normalize`` on device (fused into
     the patch conv; 4× less host→device transfer). Required when batches
-    arrive as uint8; float batches pass through either way."""
+    arrive as uint8; float batches pass through either way.
+
+    ``mesh``: device mesh; activates the trace-time mesh context so the
+    Pallas attention kernel runs sharded under TP."""
 
     @jax.jit
     def eval_step(params, bn_state, imgs, camids):
@@ -37,7 +40,16 @@ def make_eval_step(spec: ModelSpec, normalize=None):
             imgs = normalize_images(imgs, *normalize)
         return forward_eval(params, bn_state, imgs, camids, spec)
 
-    return eval_step
+    if mesh is None:
+        return eval_step
+
+    from signal_tpu.parallel.mesh import use_mesh
+
+    def eval_step_with_mesh(*args, **kwargs):
+        with use_mesh(mesh):  # trace happens inside the first call
+            return eval_step(*args, **kwargs)
+
+    return eval_step_with_mesh
 
 
 def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
@@ -48,7 +60,8 @@ def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
     in ``batch['global']`` (see ``data.loader._ShardedValLoader``); the
     global feature rows are all-gathered to every host so the evaluator
     runs identically everywhere (deterministic — no broadcast needed)."""
-    eval_step = eval_step or make_eval_step(spec, normalize=normalize)
+    eval_step = eval_step or make_eval_step(spec, normalize=normalize,
+                                            mesh=mesh)
     for batch in loader:
         imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
         camids = jnp.asarray(batch["camids"])

@@ -48,12 +48,16 @@ class TrainState:
 
 
 def make_train_step(spec: ModelSpec, cfg, num_classes: int,
-                    device_augment: bool = False) -> Callable:
+                    device_augment: bool = False, mesh=None) -> Callable:
     """Builds the jitted train step closed over static config.
 
     ``device_augment``: the loader delivered decode+resize+normalize only;
     flip/pad+crop/erase run here, on device, fused into the step
-    (`signal_tpu.data.augment`). Requires a per-step ``rng``."""
+    (`signal_tpu.data.augment`). Requires a per-step ``rng``.
+
+    ``mesh``: device mesh; activates the trace-time mesh context so the
+    Pallas attention kernel can run sharded under TP (shard_map over
+    'model' head groups)."""
     loss_fn = make_loss(cfg, num_classes)
     gram_w = cfg.MODEL.Gram_Loss_weight
     pat_w = cfg.MODEL.PAT_Loss_weight
@@ -128,7 +132,19 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
                 decoupled_wd=use_adamw)
         return new_params, new_bn, new_opt, loss, acc, centers
 
-    return train_step
+    if mesh is None:
+        return train_step
+
+    from signal_tpu.parallel.mesh import use_mesh
+
+    def train_step_with_mesh(*args, **kwargs):
+        # the jit trace happens inside the FIRST call — run every call
+        # under the mesh context so trace-time ops (the sharded Pallas
+        # attention) see it; steady-state overhead is one contextmanager
+        with use_mesh(mesh):
+            return train_step(*args, **kwargs)
+
+    return train_step_with_mesh
 
 
 def _device_batch(batch, mesh=None) -> Dict:
@@ -192,7 +208,7 @@ def do_train(
                  if use_sgd else adam_init(params))
     device_augment = bool(getattr(train_loader, "device_augment", False))
     train_step = make_train_step(spec, cfg, num_classes,
-                                 device_augment=device_augment)
+                                 device_augment=device_augment, mesh=mesh)
 
     scene_aware = cfg.DATASETS.NAMES == "MSVR310"
     evaluator = R1mAPEvaluator(num_query, feat_norm=cfg.TEST.FEAT_NORM == "yes",
@@ -234,7 +250,7 @@ def do_train(
     from signal_tpu.engine.eval import make_eval_step
 
     eval_step = make_eval_step(  # built once — re-jitting per epoch recompiles
-        spec, normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
+        spec, normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD), mesh=mesh)
 
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS + 1):
         t0 = time.time()

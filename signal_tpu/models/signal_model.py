@@ -30,24 +30,6 @@ from signal_tpu.ops.attention import trunc_normal
 MODALITIES = ("RGB", "NI", "TI")
 
 
-def _resolve_use_flash(cfg) -> bool:
-    """USE_PALLAS_ATTENTION, force-disabled under tensor parallelism:
-    GSPMD cannot partition the custom call along the TP-sharded feature
-    dim (it would silently all-gather q/k/v per layer); XLA's fused
-    attention partitions cleanly. Lives here so every entry point that
-    builds a ModelSpec (CLIs, bench, scripts) applies the rule."""
-    use = bool(cfg.MODEL.USE_PALLAS_ATTENTION)
-    if use and int(getattr(cfg.PARALLEL, "MODEL_AXIS", 1)) > 1:
-        import logging
-
-        logging.getLogger("signal_tpu").warning(
-            "PARALLEL.MODEL_AXIS=%d > 1: disabling the Pallas attention "
-            "kernel (custom calls don't partition under tensor "
-            "parallelism); using XLA attention", cfg.PARALLEL.MODEL_AXIS)
-        return False
-    return use
-
-
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
     """Hashable static model description (safe as a jit static arg)."""
@@ -108,9 +90,20 @@ class ModelSpec:
             h = cfg.INPUT.SIZE_TRAIN[0] // 16
             w = cfg.INPUT.SIZE_TRAIN[1] // 16
             layers = {"resnet50": 50, "resnet101": 101, "resnet152": 152}[ttype]
+        elif ttype.startswith("osnet"):
+            # OSNet (the zoo's ReID-idiomatic CNN): /16 grid, variant
+            # width encoded via feat_dim (== final channel count)
+            from signal_tpu.models.osnet import OSNET_VARIANTS
+
+            backbone = "osnet"
+            feat_dim = OSNET_VARIANTS[ttype][3]
+            width = feat_dim
+            h = cfg.INPUT.SIZE_TRAIN[0] // 16
+            w = cfg.INPUT.SIZE_TRAIN[1] // 16
         elif ttype.startswith("t2t"):
+            # t2t_vit_t_14/24: embed 384, heads 6, mlp_ratio 3
             backbone, feat_dim = "t2t", 384
-            width, heads = 384, 6
+            width, heads, mlp_ratio = 384, 6, 3.0
             layers = 24 if "24" in ttype else 14
         elif ttype == "vit_small_patch16_224":
             # `vit_pytorch.py:498-508`: 768 wide but 8L/8H, mlp×3,
@@ -150,7 +143,9 @@ class ModelSpec:
             sie_coe=float(cfg.MODEL.SIE_COE),
             stage=cfg.MODEL.stageName.strip(),
             compute_dtype=cfg.MODEL.COMPUTE_DTYPE,
-            use_flash=_resolve_use_flash(cfg),
+            # under PARALLEL.MODEL_AXIS > 1 the kernel runs per-shard via
+            # shard_map (`ops/flash_attention.py::_tp_sharded_attention`)
+            use_flash=bool(cfg.MODEL.USE_PALLAS_ATTENTION),
             drop_path=float(cfg.MODEL.DROP_PATH),
             adapter=bool(cfg.MODEL.ADAPTER),
             prompt=bool(cfg.MODEL.PROMPT),
@@ -229,6 +224,11 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
 
         params["base"], bn_state["base"] = init_resnet50_params(
             ks[0], block_counts=RESNET_BLOCK_COUNTS[spec.layers])
+    elif spec.backbone == "osnet":
+        from signal_tpu.models.osnet import OSNET_BY_FEAT_DIM, init_osnet_params
+
+        params["base"], bn_state["base"] = init_osnet_params(
+            ks[0], channels=OSNET_BY_FEAT_DIM[spec.feat_dim])
     else:
         from signal_tpu.models.vit_imagenet import init_imagenet_vit_params
 
@@ -264,7 +264,7 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
     if spec.use_b:
         params["AlignM"] = init_align_params(ks[8], spec.feat_dim)
 
-    if spec.frozen and spec.backbone != "resnet":
+    if spec.frozen and spec.backbone not in ("resnet", "osnet"):
         # MODEL.FROZEN: the reference freezes the backbone and trains only
         # its low-rank adapters (`meta_arch.py:66-78` → LoRA.py:307
         # `mark_only_lora_as_trainable`). Functional equivalent: a parallel
@@ -327,6 +327,12 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
         from signal_tpu.models.resnet import resnet50_forward
 
         patches, cls, new_base = resnet50_forward(
+            base, base_state, x,
+            training=training, compute_dtype=spec.cdtype)
+    elif spec.backbone == "osnet":
+        from signal_tpu.models.osnet import osnet_forward
+
+        patches, cls, new_base = osnet_forward(
             base, base_state, x,
             training=training, compute_dtype=spec.cdtype)
     elif spec.backbone == "t2t":

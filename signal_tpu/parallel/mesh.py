@@ -17,11 +17,38 @@ replacement: a 2-D ``jax.sharding.Mesh`` ('data', 'model') with GSPMD —
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# --------------------------------------------------------------------------
+# Active-mesh context: lets ops deep inside the model (the Pallas attention
+# kernel) discover the mesh at TRACE time without threading it through every
+# forward signature. Set by the engine around its jitted steps (the trace
+# happens inside the first call, which runs under the wrapper).
+# --------------------------------------------------------------------------
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Optional[Mesh]):
+    """Activate ``mesh`` for the duration (None = leave unchanged)."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    if mesh is not None:
+        _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
 
 
 def create_mesh(num_data: int = -1, num_model: int = 1, devices=None) -> Mesh:
@@ -48,6 +75,15 @@ def _spec_for(path: str, leaf) -> P:
     """Tensor-parallel partition specs for Signal parameter leaves.
 
     ViT block weights are stacked [layers, ...]; dim 0 is the scan axis.
+
+    TP SCOPE (deliberate): only the ViT blocks shard over 'model' — they
+    are >98% of the FLOPs (36 transformer layers vs one MHCA + tiny
+    heads). SIM, the BNNeck/classifier heads, GAM/LAM, and the patch
+    embed REPLICATE: at 2–4-way TP their compute is microseconds and
+    replicating avoids per-layer collectives on 512-wide activations
+    where the collective would cost more than the matmul it saves. The
+    Pallas attention kernel runs sharded under TP via a shard_map over
+    'model' head groups (`signal_tpu/ops/flash_attention.py`).
     """
     if "blocks.attn.qkv_kernel" in path:
         return P(None, None, "model")        # column-parallel (heads split)
