@@ -115,10 +115,18 @@ def bench_train(cfg, spec, params, bn_state, num_classes: int, B: int = 0):
 
 
 def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
-    """Loader→device end-to-end eval: on-disk jpgs → native C++ decode →
-    device forward. Host-bound when cores are scarce: one core decodes
-    ~190 3-modal samples/s (scripts/bench_pipeline.py), so feeding the
-    ~1310/s chip rate needs ≈7 decode cores (a v5e host has 112)."""
+    """Loader→device end-to-end eval with a per-stage breakdown:
+
+      decode   — threaded native-C++ jpg decode + u8 collate only
+      h2d      — decode + host→device transfer (blocked per batch)
+      full     — decode + transfer + forward, double-buffered (the next
+                 batch's decode AND H2D overlap the current forward)
+
+    Returns (full_rate, ncpu, breakdown_dict). The breakdown attributes
+    the end-to-end bottleneck honestly: on this 1-CPU box everything
+    shares one core and the tunnel, so `decode` bounds `full`; on a real
+    v5e host (many cores, PCIe-local chip) decode scales per core while
+    the h2d/full deltas stay constant."""
     import os
     import shutil
     import tempfile
@@ -151,26 +159,61 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
     eval_step = make_eval_step(
         spec, normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
-    def run():
-        acc = None
+    def put(batch):
+        return ({k: jnp.asarray(v) for k, v in batch["imgs"].items()},
+                jnp.asarray(batch["camids"]))
+
+    def run_decode():
         count = 0
         for batch in loader:
-            imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
-            cam = jnp.asarray(batch["camids"])
-            feats = eval_step(params, bn_state, imgs, cam)
-            acc = feats if acc is None else acc + feats  # keep device busy
+            count += batch["imgs"]["RGB"].shape[0]
+        return count
+
+    def run_h2d():
+        count = 0
+        for batch in loader:
+            imgs, _ = put(batch)
+            jax.block_until_ready(imgs["RGB"])
+            count += imgs["RGB"].shape[0]
+        return count
+
+    def run_full():
+        # double buffer: enqueue batch n+1's H2D while the device runs
+        # batch n's forward (dispatch is async; the final scalar fetch is
+        # the only sync point)
+        acc = None
+        count = 0
+        pending = None
+        for batch in loader:
+            nxt = put(batch)
+            if pending is not None:
+                feats = eval_step(params, bn_state, *pending)
+                acc = feats if acc is None else acc + feats
+                count += feats.shape[0]
+            pending = nxt
+        if pending is not None:
+            feats = eval_step(params, bn_state, *pending)
+            acc = feats if acc is None else acc + feats
             count += feats.shape[0]
         float(jnp.sum(acc))  # sync
         return count
 
-    try:
-        _retry(run)  # compile + warm page cache
+    def timed(fn):
         t0 = time.perf_counter()
-        count = run()
-        dt = time.perf_counter() - t0
+        count = fn()
+        return count / (time.perf_counter() - t0)
+
+    try:
+        _retry(run_full)  # compile + warm page cache
+        breakdown = {
+            "decode_samples_per_s": round(timed(run_decode), 2),
+            "decode_h2d_samples_per_s": round(timed(run_h2d), 2),
+        }
+        full_rate = timed(run_full)
+        breakdown["full_samples_per_s"] = round(full_rate, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return count / dt, ncpu
+    return full_rate, ncpu, breakdown
 
 
 def main():
@@ -199,18 +242,24 @@ def main():
     params, bn_state = init_signal_params(jax.random.PRNGKey(0), spec)
 
     eval_rate, eval_B = bench_eval(cfg, spec, params, bn_state)
-    e2e_rate, host_cpus = bench_e2e_eval(cfg, spec, params, bn_state)
+    e2e_rate, host_cpus, e2e_breakdown = bench_e2e_eval(cfg, spec, params,
+                                                        bn_state)
     train_rate, train_B, step_s = bench_train(cfg, spec, params, bn_state,
                                               num_classes)
 
     # MFU from the analytic matmul count (XLA's cost_analysis counts the
     # 12-layer scan body once and is blind through Pallas custom calls —
-    # it under-reports by ~8×; see utils/flops.signal_analytic_flops)
+    # it under-reports by ~8×; see utils/flops.signal_analytic_flops).
+    # MFU = model FLOPs (fwd + 2×fwd bwd, NO remat replay) / peak; HFU
+    # additionally counts the remat recompute actually executed.
     peak = peak_flops_per_chip()
     eval_flops = signal_analytic_flops(spec, eval_B, train=False)
     eval_mfu = 100.0 * eval_flops * (eval_rate / eval_B) / peak
     train_flops = signal_analytic_flops(spec, train_B, train=True)
     train_mfu = 100.0 * train_flops / step_s / peak
+    train_hw_flops = signal_analytic_flops(spec, train_B, train=True,
+                                           hardware=True)
+    train_hfu = 100.0 * train_hw_flops / step_s / peak
 
     try:
         kind = jax.devices()[0].device_kind
@@ -224,14 +273,17 @@ def main():
         "train_samples_per_s": round(train_rate, 2),
         "train_vs_baseline": round(train_rate / REFERENCE_TRAIN_SAMPLES_PER_S, 3),
         "train_mfu_pct": round(train_mfu, 2),
+        "train_hfu_pct": round(train_hfu, 2),
         "eval_mfu_pct": round(eval_mfu, 2),
         # loader→device pipeline (jpg decode in native C++): host-bound at
         # ~190 samples/s/core, so matching the chip rate needs
         # ceil(chip_rate / per-core rate) decode cores
         "e2e_eval_samples_per_s": round(e2e_rate, 2),
+        "e2e_breakdown": e2e_breakdown,
         "host_cpus": host_cpus,
         "decode_cores_needed_for_chip_rate": round(
-            eval_rate / max(e2e_rate / host_cpus, 1e-9), 1),
+            eval_rate / max(
+                e2e_breakdown["decode_samples_per_s"] / host_cpus, 1e-9), 1),
         "device_kind": kind,
     }))
 

@@ -61,6 +61,8 @@ class ModelConfig:
     USE_PALLAS_ATTENTION: bool = True
     REMAT: bool = True                 # per-block rematerialization in backward
     REMAT_POLICY: str = "full"         # 'full' (save nothing) | 'dots' (save matmul outs)
+                                       # | 'attn' (save attention outs) | 'attn_mlp'
+                                       # (save attention+MLP outs); see models/vit.py
 
 
 @dataclass

@@ -69,7 +69,8 @@ def test_cost_analysis_flops_positive():
 def test_signal_analytic_flops():
     """Analytic FLOPs cross-check: the 3-modal ViT-B/16 eval forward at
     129 tokens is ~3x the canonical 17.6 GMAC/197-token ViT-B scaled to
-    129 tokens (~23 GFLOPs/image); train = fwd + bwd(2x) + remat replay."""
+    129 tokens (~23 GFLOPs/image); train MFU numerator = fwd + bwd(2x),
+    remat replay counted only under hardware=True (HFU)."""
     from signal_tpu.config import Config
     from signal_tpu.models.signal_model import ModelSpec
     from signal_tpu.utils.flops import signal_analytic_flops
@@ -82,7 +83,9 @@ def test_signal_analytic_flops():
     # 3 x ~23 GFLOPs (ViT-B at 129 tokens) + SIM head
     assert 60e9 < f_eval < 85e9
     f_train = signal_analytic_flops(spec, 1, train=True)
-    assert f_train == f_eval * (4.0 if spec.remat else 3.0)
+    assert f_train == f_eval * 3.0
+    f_hw = signal_analytic_flops(spec, 1, train=True, hardware=True)
+    assert f_hw == f_eval * (4.0 if spec.remat else 3.0)
     # scales linearly in batch
     assert abs(signal_analytic_flops(spec, 8) - 8 * f_eval) < 1e-3 * f_eval
 
@@ -145,4 +148,70 @@ def test_resnet_analytic_flops():
     spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
     f = signal_analytic_flops(spec, 1)
     assert 20e9 < f < 30e9            # 3 modalities x ~8.1 G
+    assert signal_analytic_flops(spec, 1, train=True) == 3.0 * f
+
+
+def test_clip_vit_analytic_flops_mfu_vs_hfu():
+    """CLIP ViT-B/16 at 256x128: fwd ≈ 3 × 11.5 G (129 tokens); MFU
+    numerator = 3×fwd (NO remat replay), HFU adds the replay."""
+    from signal_tpu.config import Config
+    from signal_tpu.models.signal_model import ModelSpec
+    from signal_tpu.utils.flops import signal_analytic_flops
+
+    cfg = Config()
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
+    assert spec.backbone == "clip" and spec.remat
+    f = signal_analytic_flops(spec, 1)
+    # ViT-B/16: ~22.8 GFLOPs per 129-token image (17.6 GMACs at 197
+    # tokens ≈ 35.2 G scaled by 129/197) × 3 modalities ≈ 68 G
+    assert 60e9 < f < 80e9
+    assert signal_analytic_flops(spec, 1, train=True) == 3.0 * f
+    assert signal_analytic_flops(spec, 1, train=True, hardware=True) == 4.0 * f
+
+
+def test_imagenet_vit_analytic_flops():
+    """vit_small (768w, 8L, mlp×3, no output proj): the analytic count
+    must use the variant's mlp_ratio and skip the CLIP projection."""
+    from signal_tpu.config import Config
+    from signal_tpu.models.signal_model import ModelSpec
+    from signal_tpu.utils.flops import signal_analytic_flops
+
+    cfg = Config()
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    cfg.MODEL.TRANSFORMER_TYPE = "vit_small_patch16_224"
+    spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
+    assert spec.backbone == "imagenet" and spec.mlp_ratio == 3.0
+    f = signal_analytic_flops(spec, 1)
+    # per layer (8+12)·768²·129 ≈ 1.52G; 8 layers + patch conv ≈ 12.4G;
+    # × 3 modalities ≈ 37G
+    assert 30e9 < f < 45e9
+    # mlp_ratio must matter: a (hypothetical) mlp×4 model is ~15% bigger
+    import dataclasses as dc
+    f4 = signal_analytic_flops(dc.replace(spec, mlp_ratio=4.0), 1)
+    assert f4 > 1.08 * f
+
+
+def test_t2t_analytic_flops():
+    """t2t_vit_t_14: soft-split stages counted; mlp_ratio 3; the stage-1
+    token transformer (L0=2048 tokens at 64x128 input) dominates."""
+    from signal_tpu.config import Config
+    from signal_tpu.models.signal_model import ModelSpec
+    from signal_tpu.utils.flops import signal_analytic_flops, _t2t_stage_flops
+
+    cfg = Config()
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    cfg.MODEL.TRANSFORMER_TYPE = "t2t_vit_t_14"
+    spec = ModelSpec.from_config(cfg, num_classes=171, camera_num=4)
+    assert spec.backbone == "t2t" and spec.mlp_ratio == 3.0
+    stage = _t2t_stage_flops(spec)
+    assert stage > 0
+    f = signal_analytic_flops(spec, 1)
+    # body: 14 layers × (8+12)·384²·129 ≈ 5.3G + stages; × 3 modalities.
+    # attention1 over L0=(256/4)(128/4)=2048 tokens: 4·L0²·64 ≈ 1.07G
+    assert 15e9 < f < 40e9
+    assert stage * 3 < f  # stages are counted but don't dominate the body
     assert signal_analytic_flops(spec, 1, train=True) == 3.0 * f
