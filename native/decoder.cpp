@@ -272,8 +272,10 @@ void resize_normalize(const uint8_t* src, int sw, int sh, int cx0, int cx1,
   });
 }
 
-// Resample to uint8 CHW (PIL rounds to uint8 after each resample — this
-// output is bit-exact with the reference transform). Normalization then
+// Resample to uint8 CHW (PIL rounds to uint8 after each resample; this
+// path quantizes the same way and matches PIL within 1 LSB on <2% of
+// pixels — PIL accumulates in int16 fixed point, we accumulate in float;
+// tests/test_data.py pins the tolerance). Normalization then
 // runs on the TPU, fused into the patch-embed conv: shipping uint8
 // instead of float32 quarters host->device transfer.
 void resize_to_u8(const uint8_t* src, int sw, int sh, int cx0, int cx1,

@@ -12,6 +12,8 @@ Filename→(pid, camid, [sceneid]) parsing mirrors the reference scanners:
 * MSVR310 (`data/datasets/msvr310.py:67-88`): per-id dirs with
   `vis/ni/th` subdirs; pid = name[0:4], sceneid = name[6:9],
   camid = name[11].
+* MSVWild863 (`data/datasets/MSVWild863.py:62-86`): flat `vis/ni/th`
+  subdirs under train|query|test; RGBNT201-style filename parse.
 
 Each record: (paths, pid, camid, trackid_or_sceneid). ``paths`` is a
 3-tuple of per-modality files, or a single path for RGBNT100's packed jpg.
@@ -115,6 +117,29 @@ def _scan_msvr310(dir_path: str, relabel: bool) -> List[Record]:
     return data
 
 
+def _scan_msvwild863(dir_path: str, relabel: bool) -> List[Record]:
+    """MSVWild863 (`data/datasets/MSVWild863.py:62-86` in
+    maxingan2412/Signal): `train|query|test/{vis,ni,th}/*.jpg`, shared
+    filenames across the three modality subdirs; pid =
+    int(name.split('_')[0][:6]), camid = int(name.split('_')[1][3]) − 1,
+    trackid −1. Relabel here is sorted (deterministic) where the
+    reference enumerates a set."""
+    rgb_paths = sorted(glob.glob(osp.join(dir_path, "vis", "*.jpg")))
+    pids = sorted({int(osp.basename(p).split("_")[0][:6]) for p in rgb_paths})
+    pid2label = {pid: i for i, pid in enumerate(pids)}
+    data = []
+    for rgb in rgb_paths:
+        name = osp.basename(rgb)
+        pid = int(name.split("_")[0][:6])
+        camid = int(name.split("_")[1][3]) - 1
+        if relabel:
+            pid = pid2label[pid]
+        paths = (rgb, osp.join(dir_path, "ni", name),
+                 osp.join(dir_path, "th", name))
+        data.append((paths, pid, camid, -1))
+    return data
+
+
 def build_dataset(name: str, root: str) -> ReIDDataset:
     root = osp.abspath(osp.expanduser(root))
     if name == "RGBNT201":
@@ -141,6 +166,14 @@ def build_dataset(name: str, root: str) -> ReIDDataset:
             train=_scan_msvr310(osp.join(base, "bounding_box_train"), relabel=True),
             query=_scan_msvr310(osp.join(base, "query3"), relabel=False),
             gallery=_scan_msvr310(osp.join(base, "bounding_box_test"), relabel=False),
+        )
+    if name == "MSVWild863":
+        base = osp.join(root, "MSVWild863")
+        return ReIDDataset(
+            name,
+            train=_scan_msvwild863(osp.join(base, "train"), relabel=True),
+            query=_scan_msvwild863(osp.join(base, "query"), relabel=False),
+            gallery=_scan_msvwild863(osp.join(base, "test"), relabel=False),
         )
     if name in ("market1501", "dukemtmc", "msmt17"):
         return _legacy_single_modality(name, root)

@@ -15,6 +15,7 @@ import numpy as np
 _LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native", "libsignal_decoder.so")
 _lib = None
+_load_failed = False   # negative cache: don't re-dlopen / re-warn per batch
 
 
 def available() -> bool:
@@ -22,10 +23,10 @@ def available() -> bool:
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _load_failed or not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     try:  # stale prebuilt .so (older C ABI) → unavailable, PIL fallback
@@ -37,6 +38,7 @@ def _load():
         logging.getLogger("signal_tpu.data").warning(
             "%s is from an older build (missing symbols) — rebuild with "
             "`make -C native`; falling back to the PIL pipeline", _LIB_PATH)
+        _load_failed = True   # warn once; hot loader path stays cheap
         return None
     for fn in (lib.signal_decode_batch, lib.signal_decode_batch_packed):
         fn.restype = ctypes.c_int
@@ -120,8 +122,10 @@ def decode_batch_u8(paths: Sequence[str], out_h: int, out_w: int,
 
     Normalization is deferred to the device (see
     ``signal_tpu.data.augment.normalize_images``): shipping uint8 quarters
-    host→device transfer, and the rounding matches PIL — which quantizes
-    to uint8 after every resample — bit-for-bit."""
+    host→device transfer, and like PIL the pipeline quantizes to uint8
+    after resampling. Rounding matches PIL within 1 uint8 LSB on <2% of
+    pixels (PIL accumulates in int16 fixed point, this decoder in float;
+    tests/test_data.py pins the tolerance)."""
     lib = _load()
     if lib is None:
         return None

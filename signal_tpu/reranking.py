@@ -75,12 +75,23 @@ def _re_ranking_core(original_dist: jnp.ndarray, num_query: int,
     dq = d[:num_query]
 
     # Jaccard in query blocks: minsum(i, j) = Σ_k min(Vq[i,k], V[j,k]);
-    # V rows are L1-normalized so jaccard = minsum / (2 − minsum)
+    # V rows are L1-normalized so jaccard = minsum / (2 − minsum).
+    # BOTH axes stream: the elementwise min is [block, chunk, N] in VMEM
+    # (block=32, chunk=128, N=5k → 82 MB fp32), never [block, N, N]
+    # (~3 GB at N≈5k — the round-2 version materialized that and would
+    # hit the HBM wall on the first larger gallery).
+    chunk = 128
+    pad_v = (-n) % chunk
+    V_rows = jnp.pad(V, ((0, pad_v), (0, 0))).reshape(-1, chunk, n)
 
     def block_fn(vq_block):
-        # vq_block [B, N]; min-sum against all rows of V
-        m = jnp.minimum(vq_block[:, None, :], V[None, :, :])   # [B, N, N]
-        return jnp.sum(m, axis=-1)
+        # vq_block [B, N]; min-sum against V streamed chunk-of-rows-wise
+        def chunk_fn(v_chunk):                                 # [C, N]
+            m = jnp.minimum(vq_block[:, None, :], v_chunk[None, :, :])
+            return jnp.sum(m, axis=-1)                         # [B, C]
+
+        out = jax.lax.map(chunk_fn, V_rows)                    # [n/C, B, C]
+        return out.transpose(1, 0, 2).reshape(vq_block.shape[0], -1)[:, :n]
 
     nq = dq.shape[0]
     pad = (-nq) % block

@@ -86,6 +86,26 @@ def test_msvr310_scanner(tmp_path):
     assert ds.num_train_pids == 2
 
 
+def test_msvwild863_scanner(tmp_path):
+    base = os.path.join(str(tmp_path), "MSVWild863")
+    img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    # name: <pid6>_cam<cam>_<idx>.jpg — pid from [:6], camid from [3]−1
+    names = ["000001_cam1_00.jpg", "000001_cam3_01.jpg", "000007_cam2_00.jpg"]
+    for split in ("train", "query", "test"):
+        for mod in ("vis", "ni", "th"):
+            os.makedirs(os.path.join(base, split, mod), exist_ok=True)
+            for n in names:
+                img.save(os.path.join(base, split, mod, n))
+    ds = build_dataset("MSVWild863", str(tmp_path))
+    assert len(ds.train) == 3 and len(ds.query) == 3 and len(ds.gallery) == 3
+    paths, pid, camid, trackid = ds.train[0]
+    assert len(paths) == 3 and trackid == -1
+    assert "vis" in paths[0] and "ni" in paths[1] and "th" in paths[2]
+    assert sorted({r[1] for r in ds.train}) == [0, 1]     # relabeled
+    assert sorted({r[2] for r in ds.train}) == [0, 1, 2]  # camid − 1
+    assert sorted({r[1] for r in ds.query}) == [1, 7]     # raw pids
+
+
 # --------------------------------------------------------------------------
 # PK sampler
 # --------------------------------------------------------------------------

@@ -127,3 +127,20 @@ def test_re_ranking_matches_brute_force():
     ref = brute_force_re_ranking(qf, gf, k1=6, k2=3, lam=0.3)
     ours = re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=6, k2=3, lambda_value=0.3)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_re_ranking_multi_chunk_streaming():
+    """N large enough that the Jaccard min-sum streams over >1 gallery
+    chunk (chunk=128) and >1 query block (block=32): the streamed result
+    must equal the brute-force one. Guards the memory-bounded rewrite
+    ([block, chunk, N] intermediates, never [block, N, N])."""
+    from signal_tpu.reranking import re_ranking
+
+    rng = np.random.default_rng(7)
+    # 40 query + 280 gallery → N=320 = 2.5 chunks, 2 query blocks
+    qf = rng.standard_normal((40, 8)).astype(np.float32)
+    gf = rng.standard_normal((280, 8)).astype(np.float32)
+    ref = brute_force_re_ranking(qf, gf, k1=10, k2=4, lam=0.3)
+    ours = re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=10, k2=4,
+                      lambda_value=0.3)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

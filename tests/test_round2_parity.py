@@ -130,7 +130,7 @@ def test_render_ranked_list_grids(tmp_path):
     distmat = rng.random((len(ds.query), len(ds.gallery)))
     paths = render_ranked_list_grids(distmat, ds.query, ds.gallery,
                                      str(tmp_path), topk=4, num_queries=2)
-    if paths is None:
+    if not paths:  # returns [] (not None) without matplotlib
         pytest.skip("matplotlib unavailable")
     assert len(paths) == 2
     import os
