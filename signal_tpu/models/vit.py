@@ -232,6 +232,13 @@ def vit_forward(
                 block_fn,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "mlp_hidden"))
+        elif remat_policy == "half":
+            # remat only the FIRST half of the blocks (backward replays
+            # 6 of 12 instead of all 12 → half the recompute FLOPs); the
+            # un-remat'd tail stores its internals — fits when full
+            # activations almost fit (the no-remat step needs ~22.7 GB
+            # vs 15.75 GB on v5e; half is ~love-seat sized)
+            pass  # handled below — needs two scan segments
         else:
             block_fn = jax.checkpoint(block_fn)
 
@@ -246,6 +253,18 @@ def vit_forward(
         tail = jax.tree.map(lambda a: a[n_layers - 1], params["blocks"])
         x_last, _ = jax.lax.scan(body, x, head)
         x = block_fn(tail, x_last)
+    elif remat and remat_policy == "half":
+        ckpt_fn = jax.checkpoint(block_fn)
+
+        def body_ckpt(carry, layer_params):
+            return ckpt_fn(layer_params, carry), None
+
+        n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
+        k = n_layers // 2
+        head = jax.tree.map(lambda a: a[:k], params["blocks"])
+        tail = jax.tree.map(lambda a: a[k:], params["blocks"])
+        x, _ = jax.lax.scan(body_ckpt, x, head)    # remat'd half
+        x, _ = jax.lax.scan(body, x, tail)         # stored half
     else:
         x, _ = jax.lax.scan(body, x, params["blocks"])
 

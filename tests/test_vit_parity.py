@@ -151,8 +151,8 @@ def test_adapter_branch_changes_output():
 
 
 def test_remat_policies_same_values_and_grads():
-    """'full' / 'dots' / 'attn' / 'attn_mlp' only trade memory for
-    recompute — values and gradients must be identical."""
+    """'full' / 'dots' / 'attn' / 'attn_mlp' / 'half' only trade memory
+    for recompute — values and gradients must be identical."""
     params = init_vit_params(jax.random.PRNGKey(5), h_resolution=4,
                              w_resolution=2, width=64, layers=2, output_dim=32)
     rng = np.random.default_rng(5)
@@ -165,7 +165,7 @@ def test_remat_policies_same_values_and_grads():
         return jnp.sum(cls ** 2) + jnp.sum(patches ** 2)
 
     ref_v, ref_g = jax.value_and_grad(lambda p: loss(p, "full"))(params)
-    for policy in ("dots", "attn", "attn_mlp"):
+    for policy in ("dots", "attn", "attn_mlp", "half"):
         v, g = jax.value_and_grad(lambda p: loss(p, policy))(params)
         np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-6)
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
