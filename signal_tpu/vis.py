@@ -110,7 +110,8 @@ def save_ranked_list(distmat: np.ndarray, query_paths: Sequence[str],
 
 def render_ranked_list_grids(distmat: np.ndarray, query_records,
                              gallery_records, save_dir: str, topk: int = 10,
-                             num_queries: int = 10) -> List[str]:
+                             num_queries: int = 10,
+                             scene_filter: bool = False) -> List[str]:
     """Per-query 3-modality image grids of the top-k gallery matches, with
     green (same pid) / red (different pid) borders — the reference's
     `visualize_ranked_list_results` + `plot_images`
@@ -119,7 +120,10 @@ def render_ranked_list_grids(distmat: np.ndarray, query_records,
     ``*_records``: dataset record tuples (paths, pid, camid, trackid) —
     the three modality crops are loaded exactly as the data pipeline loads
     them (packed single jpg or 3-file tuple, `data/datasets/bases.py:18-22`).
-    Mirrors the reference's different-camera filter on the ranking.
+    Mirrors the reference's different-camera filter on the ranking;
+    ``scene_filter`` switches to the MSVR310 variant's different-SCENE
+    filter (`utils/ranklist_vehicle.py:285` uses sceneid, not camid,
+    when ranking vehicle galleries).
     Returns the written file paths ([] if matplotlib is unavailable).
     """
     try:
@@ -135,12 +139,16 @@ def render_ranked_list_grids(distmat: np.ndarray, query_records,
     os.makedirs(save_dir, exist_ok=True)
     g_pids = np.asarray([r[1] for r in gallery_records])
     g_camids = np.asarray([r[2] for r in gallery_records])
+    g_scenes = np.asarray([r[3] for r in gallery_records])
     modalities = ("RGB", "NIR", "TIR")
     saved = []
     for qi in range(min(num_queries, distmat.shape[0])):
-        q_paths, q_pid, q_camid, _ = query_records[qi]
+        q_paths, q_pid, q_camid, q_scene = query_records[qi]
         order = np.argsort(distmat[qi])
-        order = [g for g in order if g_camids[g] != q_camid][:topk]
+        if scene_filter:
+            order = [g for g in order if g_scenes[g] != q_scene][:topk]
+        else:
+            order = [g for g in order if g_camids[g] != q_camid][:topk]
         q_imgs = read_modalities(q_paths)
         if len(q_imgs) == 1:  # synthetic single-modality fallback
             q_imgs = q_imgs * 3
@@ -172,6 +180,59 @@ def render_ranked_list_grids(distmat: np.ndarray, query_records,
         plt.close(fig)
         saved.append(path)
     return saved
+
+
+def render_fusion_similarity_kde(pre_src: np.ndarray, pre_tgt: np.ndarray,
+                                 post_src: np.ndarray, post_tgt: np.ndarray,
+                                 pattern: str, save_path: str) -> Optional[str]:
+    """Cross-modal token-similarity KDE before vs after fusion — the
+    reference's `visualize_similarity` (`utils/ranklist_vehicle.py:697-761`):
+    per-token cosine similarity between a source and target modality's
+    patch tokens, as two density curves. ``pattern`` ∈
+    {'r2t','r2n','n2t','n2r','t2r','t2n'} labels the modality pair.
+    Returns the written path (None if matplotlib is unavailable)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+
+    def cos_sim(a, b):
+        a = np.asarray(a, np.float32).reshape(-1, a.shape[-1])
+        b = np.asarray(b, np.float32).reshape(-1, b.shape[-1])
+        num = np.sum(a * b, axis=-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+        return num / den
+
+    def kde(xs, grid):
+        # Gaussian KDE, Scott's bandwidth (no scipy/seaborn dependency)
+        xs = np.asarray(xs, np.float64)
+        bw = max(xs.std() * xs.size ** (-1 / 5), 1e-3)
+        d = (grid[:, None] - xs[None, :]) / bw
+        return np.exp(-0.5 * d * d).sum(1) / (xs.size * bw * np.sqrt(2 * np.pi))
+
+    sims_pre = cos_sim(pre_src, pre_tgt)
+    sims_post = cos_sim(post_src, post_tgt)
+    grid = np.linspace(-1.05, 1.05, 256)
+    names = {"r2t": "R and T", "r2n": "R and N", "n2t": "N and T",
+             "n2r": "N and R", "t2r": "T and R", "t2n": "T and N"}
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.fill_between(grid, kde(sims_pre, grid), alpha=0.4, color="b",
+                    label="Before fusion")
+    ax.fill_between(grid, kde(sims_post, grid), alpha=0.4, color="g",
+                    label="After fusion")
+    ax.set_title(f"Similarity Distribution between "
+                 f"{names.get(pattern, pattern)}")
+    ax.set_xlabel("Cosine Similarity")
+    ax.set_ylabel("Density")
+    ax.legend(loc="upper right")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path)
+    plt.close(fig)
+    return save_path
 
 
 def save_tsne_plot(feats: np.ndarray, labels: Sequence[int], save_path: str,

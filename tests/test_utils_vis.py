@@ -58,6 +58,49 @@ def test_save_ranked_list(tmp_path):
     assert (tmp_path / "ranked_lists.txt").exists()
 
 
+def test_fusion_similarity_kde(tmp_path):
+    """The before/after-fusion cosine-KDE figure (the reference's
+    `visualize_similarity` variant) writes a non-empty png."""
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from signal_tpu.vis import render_fusion_similarity_kde
+
+    rng = np.random.default_rng(0)
+    pre_s, pre_t = rng.standard_normal((2, 8, 16)), rng.standard_normal((2, 8, 16))
+    post_t = pre_s + 0.1 * rng.standard_normal((2, 8, 16))  # fused: closer
+    path = render_fusion_similarity_kde(
+        pre_s, pre_t, pre_s, post_t, "r2t", str(tmp_path / "kde.png"))
+    assert path is not None
+    import os
+
+    assert os.path.getsize(path) > 0
+
+
+def test_ranked_list_grid_scene_filter(tmp_path):
+    """MSVR310 variant: ranking excludes same-SCENE gallery entries
+    (trackid slot), not same-camera ones."""
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from signal_tpu.data.datasets import synthetic_dataset
+    from signal_tpu.vis import render_ranked_list_grids
+
+    ds = synthetic_dataset()
+    # give query 0 scene 7; mark the nearest gallery row as scene 7 too —
+    # the scene filter must skip it, the camera filter would not
+    query = [(ds.query[0][0], ds.query[0][1], ds.query[0][2], 7)]
+    gallery = [(r[0], r[1], r[2], 7 if i == 0 else i) for i, r in
+               enumerate(ds.gallery[:4])]
+    dist = np.asarray([[0.0, 0.1, 0.2, 0.3]])
+    paths = render_ranked_list_grids(dist, query, gallery, str(tmp_path),
+                                     topk=2, num_queries=1,
+                                     scene_filter=True)
+    if not paths:
+        pytest.skip("matplotlib unavailable")
+    assert len(paths) == 1
+
+
 def test_cost_analysis_flops_positive():
     def f(x):
         return x @ x
