@@ -220,13 +220,16 @@ def _lane_compatible(D: int, hd: int) -> bool:
     return _pick_col_block(D, hd) % 128 == 0
 
 
-def _tp_sharded_attention(q, k, v, num_heads: int, mesh) -> jnp.ndarray:
-    """Run the fused kernel under tensor parallelism via shard_map.
+def _mesh_sharded_attention(q, k, v, num_heads: int, mesh) -> jnp.ndarray:
+    """Run the fused kernel sharded over the device mesh via shard_map.
 
-    Heads are independent, so the 'model' axis splits the feature dim
+    GSPMD cannot see into a Pallas custom call, so under ANY multi-device
+    mesh the unwrapped kernel would be computed replicated (all-gathered
+    operands) — wasting the mesh. shard_map splits the batch over 'data'
+    and, because heads are independent, the feature dim over 'model'
     into per-shard head groups (each 128-divisible at 2-way TP on the
-    768-wide ViT: 384 columns = 6 heads) and each shard runs the kernel
-    — forward AND custom-vjp backward — on its local [B/dp, L, D/tp]
+    768-wide ViT: 384 columns = 6 heads); every shard runs the kernel —
+    forward AND custom-vjp backward — on its local [B/dp, L, D/tp]
     block with zero collectives. This replaces the round-2 behavior of
     force-disabling the kernel whenever PARALLEL.MODEL_AXIS > 1 (which
     cost ~40% eval throughput in the repo's own flagship TP mode)."""
@@ -260,13 +263,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     from signal_tpu.parallel.mesh import active_mesh
 
     mesh = active_mesh()
-    tp = int(mesh.shape.get("model", 1)) if mesh is not None else 1
-    if tp > 1 and "data" in mesh.shape:
-        if (num_heads % tp == 0 and D % tp == 0
+    multi = mesh is not None and mesh.size > 1
+    if multi:
+        tp = int(mesh.shape.get("model", 1))
+        if ({"data", "model"} <= set(mesh.axis_names)
+                and num_heads % tp == 0 and D % tp == 0
                 and q.shape[0] % mesh.shape["data"] == 0
                 and _lane_compatible(D // tp, hd)):
-            return _tp_sharded_attention(q, k, v, num_heads, mesh)
-        # per-shard width inexpressible in Mosaic → XLA fused attention
+            return _mesh_sharded_attention(q, k, v, num_heads, mesh)
+        # mesh/shape the kernel can't shard (missing axes, indivisible
+        # batch, or a per-shard width Mosaic's lane rule can't express)
+        # → XLA fused attention, which GSPMD partitions natively
         from signal_tpu.ops.attention import _attention_core
 
         return _attention_core(q, k, v, num_heads, compute_dtype=cd)

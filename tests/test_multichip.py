@@ -148,6 +148,42 @@ def test_tp_flash_forward_matches_single_device():
 
 
 @requires_8_devices
+def test_dp_flash_forward_matches_single_device():
+    """Pure data parallelism (8×1) also routes the Pallas kernel through
+    shard_map — GSPMD would otherwise compute the custom call replicated
+    (all-gathered operands), silently wasting the mesh."""
+    import dataclasses as dc
+
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, init_signal_params)
+    from signal_tpu.parallel.mesh import (
+        create_mesh, shard_batch, shard_params, use_mesh)
+
+    cfg = Config()
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    spec = ModelSpec.from_config(cfg, num_classes=8, camera_num=2)
+    spec = dc.replace(spec, layers=2, width=256, feat_dim=64, num_heads=4,
+                      h=4, w=2, use_flash=True, compute_dtype="float32")
+    params, bn = init_signal_params(jax.random.PRNGKey(3), spec)
+    rng = np.random.default_rng(3)
+    imgs = {m: jnp.asarray(rng.standard_normal((8, 3, 64, 32)), jnp.float32)
+            for m in ("RGB", "NI", "TI")}
+    cam = jnp.asarray(rng.integers(0, 2, 8))
+
+    ref = forward_eval(params, bn, imgs, cam, spec)
+
+    mesh = create_mesh(num_data=8, num_model=1)
+    fn = jax.jit(lambda p, s, x, c: forward_eval(p, s, x, c, spec))
+    with mesh, use_mesh(mesh):
+        p_dp = shard_params(params, mesh)
+        sharded = shard_batch({"imgs": imgs, "camids": cam}, mesh)
+        out = fn(p_dp, bn, sharded["imgs"], sharded["camids"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+
+@requires_8_devices
 def test_tp_train_step_matches_single_device():
     """Full train step (fwd+bwd+Adam) under 4×2 dp×tp with the Pallas
     kernel ON equals the single-device step: same loss, same updated
