@@ -14,6 +14,7 @@ import sys
 
 def main():
     pid, port, tmpdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    tp = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     import jax
 
@@ -57,17 +58,24 @@ def main():
                           shard_index=jax.process_index())
 
     spec = ModelSpec.from_config(cfg, num_classes, cam_num)
-    spec = dataclasses.replace(spec, layers=2, width=32, feat_dim=16,
-                               num_heads=4, h=4, w=4, use_flash=False,
-                               compute_dtype="float32")
+    if tp > 1:
+        # TP across hosts WITH the Pallas kernel: width 256 / 4 heads so
+        # each 'model' shard is a 128-column Mosaic block
+        spec = dataclasses.replace(spec, layers=2, width=256, feat_dim=64,
+                                   num_heads=4, h=4, w=4, use_flash=True,
+                                   compute_dtype="float32")
+    else:
+        spec = dataclasses.replace(spec, layers=2, width=32, feat_dim=16,
+                                   num_heads=4, h=4, w=4, use_flash=False,
+                                   compute_dtype="float32")
     params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
 
-    mesh = create_mesh(num_data=4, num_model=1)
+    mesh = create_mesh(num_data=4 // tp, num_model=tp)
     with mesh:
         params = shard_params(params, mesh)
         group_trees = build_param_groups(params, cfg)
         opt_state = adam_init(params)
-        train_step = make_train_step(spec, cfg, num_classes)
+        train_step = make_train_step(spec, cfg, num_classes, mesh=mesh)
         lr_a, lr_b = schedule_coeffs(cfg, 1)
 
         batch = next(iter(train_loader))
@@ -84,7 +92,7 @@ def main():
                          mesh=mesh)
         cmc, mAP, *_ = evaluator.compute()
 
-        save_checkpoint(os.path.join(tmpdir, f"mp_ckpt"), {
+        save_checkpoint(os.path.join(tmpdir, f"mp_ckpt_tp{tp}"), {
             "params": params, "rank_probe": np.int32(jax.process_index())})
 
     print("RESULT " + json.dumps({

@@ -27,17 +27,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_train_step_and_eval(tmp_path):
-    port = _free_port()
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-
+def _spawn_workers(tmp_path, port, env, tp: int):
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(i), str(port), str(tmp_path)],
+        [sys.executable, WORKER, str(i), str(port), str(tmp_path), str(tp)],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in (0, 1)]
     outs = []
@@ -51,8 +43,19 @@ def test_two_process_train_step_and_eval(tmp_path):
         lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
         assert lines, f"no RESULT line in:\n{out}"
         results.append(json.loads(lines[0][len("RESULT "):]))
+    return sorted(results, key=lambda r: r["pid"])
 
-    r0, r1 = sorted(results, key=lambda r: r["pid"])
+
+@pytest.mark.slow
+def test_two_process_train_step_and_eval(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    r0, r1 = _spawn_workers(tmp_path, port, env, tp=1)
     # both hosts computed the identical global loss and identical metrics
     # (the eval all-gather hands every host the same global features)
     np.testing.assert_allclose(r0["loss"], r1["loss"], rtol=1e-5)
@@ -64,7 +67,7 @@ def test_two_process_train_step_and_eval(tmp_path):
     assert 0.0 <= r0["mAP"] <= 1.0
 
     # checkpoint written exactly once (rank-0 gate) and restorable
-    ckpt = tmp_path / "mp_ckpt"
+    ckpt = tmp_path / "mp_ckpt_tp1"
     assert ckpt.is_dir(), "process 0 must have written the checkpoint"
     from signal_tpu.utils.checkpoint import load_checkpoint
 
@@ -107,6 +110,74 @@ def test_two_process_train_step_and_eval(tmp_path):
                                num_heads=4, h=4, w=4, use_flash=False,
                                compute_dtype="float32")
     params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
+    group_trees = build_param_groups(params, cfg)
+    train_step = make_train_step(spec, cfg, num_classes)
+    lr_a, lr_b = schedule_coeffs(cfg, 1)
+    batch = next(iter(train_loader))
+    params, bn_state, _, loss_ref, _, _ = train_step(
+        params, bn_state, adam_init(params), _device_batch(batch),
+        jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
+    evaluator = R1mAPEvaluator(num_query, feat_norm=True)
+    extract_features(spec, params, bn_state, val_loader, evaluator)
+    _, mAP_ref, *_ = evaluator.compute()
+
+    np.testing.assert_allclose(r0["loss"], float(loss_ref), rtol=1e-4)
+    np.testing.assert_allclose(r0["mAP"], float(mAP_ref), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_tp_flash_train_step(tmp_path):
+    """2 hosts × 2 devices as a (2 data, 2 model) mesh with the Pallas
+    attention kernel ON: both hosts compute the same global loss/metrics,
+    and they match a single-process run of the identical spec — the
+    flagship TP mode works across process boundaries."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    r0, r1 = _spawn_workers(tmp_path, port, env, tp=2)
+    np.testing.assert_allclose(r0["loss"], r1["loss"], rtol=1e-5)
+    np.testing.assert_allclose(r0["mAP"], r1["mAP"], rtol=1e-6)
+    assert np.isfinite(r0["loss"])
+
+    # single-process cross-check with the same spec + kernel
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from signal_tpu.config import Config
+    from signal_tpu.data import make_dataloader
+    from signal_tpu.engine.eval import extract_features
+    from signal_tpu.engine.train import _device_batch, make_train_step
+    from signal_tpu.metrics import R1mAPEvaluator
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
+
+    cfg = Config()
+    cfg.DATASETS.NAMES = "synthetic"
+    cfg.INPUT.SIZE_TRAIN = (64, 64)
+    cfg.INPUT.SIZE_TEST = (64, 64)
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.DATALOADER.NUM_INSTANCE = 2
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.TEST.IMS_PER_BATCH = 12
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = True
+    cfg.MODEL.TOPK = 3
+
+    (train_loader, _, val_loader, num_query, num_classes, cam_num,
+     _) = make_dataloader(cfg)
+    spec = ModelSpec.from_config(cfg, num_classes, cam_num)
+    spec = dataclasses.replace(spec, layers=2, width=256, feat_dim=64,
+                               num_heads=4, h=4, w=4, use_flash=True,
+                               compute_dtype="float32")
+    params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED),
+                                          spec)
     group_trees = build_param_groups(params, cfg)
     train_step = make_train_step(spec, cfg, num_classes)
     lr_a, lr_b = schedule_coeffs(cfg, 1)
