@@ -173,7 +173,7 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
         count = 0
         for batch in loader:
             imgs, _ = put(batch)
-            jax.block_until_ready(imgs["RGB"])
+            jax.block_until_ready(imgs)   # the whole dict — all 3 modalities
             count += imgs["RGB"].shape[0]
         return count
 
@@ -216,13 +216,11 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
     return full_rate, ncpu, breakdown
 
 
-def main():
-    import sys
-
+def flagship_cfg(overrides=None):
+    """The canonical full-model benchmark config (RGBNT201 shape, B=64)
+    — shared with scripts/profile_train.py so the profiler profiles the
+    exact model bench.py benchmarks."""
     from signal_tpu.config import Config
-    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
-    from signal_tpu.utils.flops import (
-        peak_flops_per_chip, signal_analytic_flops)
 
     cfg = Config()
     cfg.MODEL.USE_A = True
@@ -234,8 +232,19 @@ def main():
     cfg.SOLVER.OPTIMIZER_NAME = "Adam"
     cfg.SOLVER.BASE_LR = 3.5e-4
     cfg.SOLVER.IMS_PER_BATCH = 64
-    if len(sys.argv) > 1:  # optional KEY VALUE overrides for A/B runs
-        cfg.merge_from_list(sys.argv[1:])
+    if overrides:  # optional KEY VALUE overrides for A/B runs
+        cfg.merge_from_list(list(overrides))
+    return cfg
+
+
+def main():
+    import sys
+
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.utils.flops import (
+        peak_flops_per_chip, signal_analytic_flops)
+
+    cfg = flagship_cfg(sys.argv[1:])
     num_classes = 171
 
     spec = ModelSpec.from_config(cfg, num_classes=num_classes, camera_num=4)
@@ -275,9 +284,10 @@ def main():
         "train_mfu_pct": round(train_mfu, 2),
         "train_hfu_pct": round(train_hfu, 2),
         "eval_mfu_pct": round(eval_mfu, 2),
-        # loader→device pipeline (jpg decode in native C++): host-bound at
-        # ~190 samples/s/core, so matching the chip rate needs
-        # ceil(chip_rate / per-core rate) decode cores
+        # loader→device pipeline (jpg decode in native C++): decode is
+        # the real per-core cost (554/s measured here on noise JPEGs;
+        # 630-1330/s in scripts/bench_pipeline.py), so matching the chip
+        # rate needs ceil(chip_rate / per-core decode rate) cores
         "e2e_eval_samples_per_s": round(e2e_rate, 2),
         "e2e_breakdown": e2e_breakdown,
         "host_cpus": host_cpus,

@@ -52,20 +52,12 @@ def parse_xplane(path: str, top: int = 30):
 
 
 def main():
-    from signal_tpu.config import Config
+    from bench import flagship_cfg
     from signal_tpu.engine.train import make_train_step
     from signal_tpu.models.signal_model import ModelSpec, init_signal_params
     from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
 
-    cfg = Config()
-    cfg.MODEL.USE_A = True
-    cfg.MODEL.USE_B = True
-    cfg.MODEL.TOPK = 80
-    cfg.MODEL.stageName = "together_CLS_Patch"
-    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
-    cfg.SOLVER.IMS_PER_BATCH = 64
-    if len(sys.argv) > 1:
-        cfg.merge_from_list(sys.argv[1:])
+    cfg = flagship_cfg(sys.argv[1:])  # the exact model bench.py measures
     num_classes = 171
     spec = ModelSpec.from_config(cfg, num_classes=num_classes, camera_num=4)
     params, bn_state = init_signal_params(jax.random.PRNGKey(0), spec)

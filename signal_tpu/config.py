@@ -62,7 +62,8 @@ class ModelConfig:
     REMAT: bool = True                 # per-block rematerialization in backward
     REMAT_POLICY: str = "full"         # 'full' (save nothing) | 'dots' (save matmul outs)
                                        # | 'attn' (save attention outs) | 'attn_mlp'
-                                       # (save attention+MLP outs); see models/vit.py
+                                       # (save attention+MLP outs) | 'half' (remat only
+                                       # the first 6 blocks); see models/vit.py
 
 
 @dataclass

@@ -67,8 +67,13 @@ class ReIDDataset:
         return "\n".join(rows)
 
 
-def _scan_rgbnt201(dir_path: str, relabel: bool) -> List[Record]:
-    rgb_paths = sorted(glob.glob(osp.join(dir_path, "RGB", "*.jpg")))
+def _scan_rgbnt201(dir_path: str, relabel: bool,
+                   mods: Tuple[str, str, str] = ("RGB", "NI", "TI"),
+                   ) -> List[Record]:
+    """RGBNT201-style scan: shared filenames across three modality
+    subdirs (``mods``), pid = name[:6], camid = name.split('_')[1][3]−1.
+    MSVWild863 reuses this with mods=('vis','ni','th')."""
+    rgb_paths = sorted(glob.glob(osp.join(dir_path, mods[0], "*.jpg")))
     pids = sorted({int(osp.basename(p).split("_")[0][:6]) for p in rgb_paths})
     pid2label = {pid: i for i, pid in enumerate(pids)}
     data = []
@@ -78,7 +83,8 @@ def _scan_rgbnt201(dir_path: str, relabel: bool) -> List[Record]:
         camid = int(name.split("_")[1][3]) - 1
         if relabel:
             pid = pid2label[pid]
-        paths = (rgb, osp.join(dir_path, "NI", name), osp.join(dir_path, "TI", name))
+        paths = (rgb, osp.join(dir_path, mods[1], name),
+                 osp.join(dir_path, mods[2], name))
         data.append((paths, pid, camid, -1))
     return data
 
@@ -119,25 +125,10 @@ def _scan_msvr310(dir_path: str, relabel: bool) -> List[Record]:
 
 def _scan_msvwild863(dir_path: str, relabel: bool) -> List[Record]:
     """MSVWild863 (`data/datasets/MSVWild863.py:62-86` in
-    maxingan2412/Signal): `train|query|test/{vis,ni,th}/*.jpg`, shared
-    filenames across the three modality subdirs; pid =
-    int(name.split('_')[0][:6]), camid = int(name.split('_')[1][3]) − 1,
-    trackid −1. Relabel here is sorted (deterministic) where the
-    reference enumerates a set."""
-    rgb_paths = sorted(glob.glob(osp.join(dir_path, "vis", "*.jpg")))
-    pids = sorted({int(osp.basename(p).split("_")[0][:6]) for p in rgb_paths})
-    pid2label = {pid: i for i, pid in enumerate(pids)}
-    data = []
-    for rgb in rgb_paths:
-        name = osp.basename(rgb)
-        pid = int(name.split("_")[0][:6])
-        camid = int(name.split("_")[1][3]) - 1
-        if relabel:
-            pid = pid2label[pid]
-        paths = (rgb, osp.join(dir_path, "ni", name),
-                 osp.join(dir_path, "th", name))
-        data.append((paths, pid, camid, -1))
-    return data
+    maxingan2412/Signal): the RGBNT201 scan over `{vis,ni,th}` subdirs.
+    Relabel here is sorted (deterministic) where the reference
+    enumerates a set."""
+    return _scan_rgbnt201(dir_path, relabel, mods=("vis", "ni", "th"))
 
 
 def build_dataset(name: str, root: str) -> ReIDDataset:

@@ -66,7 +66,7 @@ class ModelSpec:
     frozen: bool = False         # MODEL.FROZEN (backbone frozen, LoRA trains)
     lora_rank: int = 8           # LoRA rank r (alpha fixed at 2r)
     remat: bool = True           # per-block rematerialization (backward)
-    remat_policy: str = "full"   # 'full' | 'dots' (save matmul outputs)
+    remat_policy: str = "full"   # 'full'|'dots'|'attn'|'attn_mlp'|'half' (models/vit.py)
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
 
     @classmethod
@@ -144,7 +144,7 @@ class ModelSpec:
             stage=cfg.MODEL.stageName.strip(),
             compute_dtype=cfg.MODEL.COMPUTE_DTYPE,
             # under PARALLEL.MODEL_AXIS > 1 the kernel runs per-shard via
-            # shard_map (`ops/flash_attention.py::_tp_sharded_attention`)
+            # shard_map (`ops/flash_attention.py::_mesh_sharded_attention`)
             use_flash=bool(cfg.MODEL.USE_PALLAS_ATTENTION),
             drop_path=float(cfg.MODEL.DROP_PATH),
             adapter=bool(cfg.MODEL.ADAPTER),

@@ -55,7 +55,10 @@ def flash_attention_flops(spec, batch_size: int, *, train: bool = False,
     if hardware:
         total += 0.5 * fwd                  # in-kernel S recompute
         if spec.remat:
-            total += fwd                    # per-block remat replay
+            # per-block remat replay (same policy factors as
+            # ``signal_analytic_flops``; partial-save policies → 0)
+            total += {"full": 1.0, "half": 0.5}.get(spec.remat_policy,
+                                                    0.0) * fwd
     return total
 
 
@@ -162,7 +165,14 @@ def signal_analytic_flops(spec, batch_size: int, *, train: bool = False,
     inside Pallas custom calls — it under-reports the 12-layer ViT by ~8×.
     Cross-check: ViT-B/16 ≈ 17.6 GMACs at 197 tokens ⇒ 24·W²·T·12 here.
     """
-    replay = 1.0 if (train and hardware and spec.remat) else 0.0
+    # backward replay fraction of one forward, by remat policy. Exact for
+    # 'full' (every block recomputed) and 'half' (6 of 12 blocks); the
+    # save-something policies ('dots'/'attn'/'attn_mlp') replay only part
+    # of each block — not modeled, so their HFU is reported equal to MFU
+    # (a lower bound). The flagship default is 'full'.
+    _replay_by_policy = {"full": 1.0, "half": 0.5}
+    replay = (_replay_by_policy.get(spec.remat_policy, 0.0)
+              if (train and hardware and spec.remat) else 0.0)
     if spec.backbone in ("resnet", "osnet"):
         fwd = (_resnet_analytic_flops(spec, batch_size)
                if spec.backbone == "resnet"
