@@ -67,6 +67,7 @@ class ModelSpec:
     lora_rank: int = 8           # LoRA rank r (alpha fixed at 2r)
     remat: bool = True           # per-block rematerialization (backward)
     remat_policy: str = "full"   # 'full'|'dots'|'attn'|'attn_mlp'|'half' (models/vit.py)
+    scan_unroll: int = 1         # lax.scan unroll factor over ViT blocks
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
 
     @classmethod
@@ -152,6 +153,7 @@ class ModelSpec:
             frozen=bool(cfg.MODEL.FROZEN),
             remat=bool(getattr(cfg.MODEL, "REMAT", True)),
             remat_policy=str(getattr(cfg.MODEL, "REMAT_POLICY", "full")),
+            scan_unroll=int(getattr(cfg.MODEL, "SCAN_UNROLL", 1)),
             miss=str(cfg.TEST.MISS),
         )
 
@@ -322,6 +324,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             remat=spec.remat,
             remat_policy=spec.remat_policy,
             stride=spec.stride_size,
+            unroll=spec.scan_unroll,
         )
     elif spec.backbone == "resnet":
         from signal_tpu.models.resnet import resnet50_forward

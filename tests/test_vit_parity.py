@@ -171,3 +171,28 @@ def test_remat_policies_same_values_and_grads():
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_scan_unroll_same_values_and_grads():
+    """MODEL.SCAN_UNROLL only changes how the 12-block loop is laid out
+    in HLO (rolled while-loop vs unrolled slices) — values and gradients
+    must match. fp32 compute so reduction reorder stays under 1e-5."""
+    params = init_vit_params(jax.random.PRNGKey(7), h_resolution=4,
+                             w_resolution=2, width=64, layers=4, output_dim=32)
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 32)), jnp.float32)
+
+    def loss(p, unroll, policy="full"):
+        patches, cls = vit_forward(p, imgs, num_heads=4,
+                                   compute_dtype=jnp.float32,
+                                   remat=True, remat_policy=policy,
+                                   unroll=unroll)
+        return jnp.sum(cls ** 2) + jnp.sum(patches ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(lambda p: loss(p, 1))(params)
+    for unroll, policy in ((2, "full"), (4, "full"), (4, "half")):
+        v, g = jax.value_and_grad(lambda p: loss(p, unroll, policy))(params)
+        np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
