@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from signal_tpu.utils.flops import cost_analysis, param_count
 from signal_tpu.utils.meter import AverageMeter
@@ -258,3 +259,41 @@ def test_t2t_analytic_flops():
     assert 15e9 < f < 40e9
     assert stage * 3 < f  # stages are counted but don't dominate the body
     assert signal_analytic_flops(spec, 1, train=True) == 3.0 * f
+
+
+def test_plot_ablation_scrape_and_render(tmp_path):
+    """scripts/plot_ablation.py: the data-driven stand-in for the
+    reference's hardcoded figure scripts (`zablation/tiaoxing.py`,
+    `zablation/zhexian.py`) — scrape Best-metric lines, render both
+    figure forms."""
+    import importlib.util
+
+    pytest.importorskip("matplotlib")
+    spec = importlib.util.spec_from_file_location(
+        "plot_ablation",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "plot_ablation.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    run = tmp_path / "sign1"
+    run.mkdir()
+    # last occurrence wins — mimic per-epoch Best lines
+    (run / "train_log.txt").write_text(
+        "INFO Best mAP: 60.0%\nINFO Best mAP: 68.3%\nINFO Best Rank-1: 72.1%\n")
+    (tmp_path / "full.log").write_text(
+        "INFO Best mAP: 78.8%\nINFO Best Rank-1: 82.5%\n")
+    runs = mod.scrape_logs([str(tmp_path)])
+    assert runs == {"sign1": {"mAP": 68.3, "Rank-1": 72.1},
+                    "full": {"mAP": 78.8, "Rank-1": 82.5}}
+
+    series = {"mAP": [75.2, 79.0], "R-1": [78.5, 82.8]}
+    bars = mod.plot_bars([0.1, 0.2], series, str(tmp_path / "b.png"),
+                         xlabel="keep ratio")
+    lines = mod.plot_lines([0.1, 0.2], series, str(tmp_path / "l.png"),
+                           xlabel="keep ratio")
+    assert os.path.getsize(bars) > 0 and os.path.getsize(lines) > 0
+
+    # CLI end-to-end: from-logs mode
+    mod.main(["from-logs", str(tmp_path), "-o", str(tmp_path / "r.png")])
+    assert os.path.getsize(tmp_path / "r.png") > 0
