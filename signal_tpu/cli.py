@@ -79,6 +79,46 @@ def train_main(argv=None):
              mesh=mesh, resume_from=args.resume or None)
 
 
+def build_model_for_test(cfg, num_classes: int | None = None,
+                         camera_num: int | None = None, view_num: int = 1):
+    """(spec, params, bn_state) with TEST.WEIGHT loaded — the model-build
+    half of ``test_main``, also used by scripts/export_serving.py. When
+    ``num_classes`` is None the dataset is scanned for the counts (the
+    classifier head shapes must match the checkpoint)."""
+    if num_classes is None:
+        from signal_tpu.data import make_dataloader
+
+        import jax as _jax
+
+        (_, _, _, _, num_classes, camera_num,
+         view_num) = make_dataloader(cfg, num_shards=_jax.process_count(),
+                                     shard_index=_jax.process_index())
+
+    import jax
+
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+
+    spec = ModelSpec.from_config(cfg, num_classes, camera_num or 1, view_num)
+    params, bn_state = init_signal_params(
+        jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
+
+    weight = cfg.TEST.WEIGHT
+    if weight:
+        if weight.endswith((".pth", ".pt")):
+            from signal_tpu.models.clip_loader import (
+                load_reference_signal_checkpoint)
+
+            params, bn_state = load_reference_signal_checkpoint(
+                params, bn_state, weight, spec)
+        else:
+            # subset restore: periodic snapshots also hold opt_state/epoch
+            from signal_tpu.utils.checkpoint import load_checkpoint_subset
+
+            tree = load_checkpoint_subset(weight, ("params", "bn_state"))
+            params, bn_state = tree["params"], tree["bn_state"]
+    return spec, params, bn_state
+
+
 def test_main(argv=None):
     parser = argparse.ArgumentParser(description="Signal-TPU Testing")
     parser.add_argument("--config_file", default="configs/RGBNT201/Signal.yml", type=str)
@@ -96,7 +136,6 @@ def test_main(argv=None):
 
     from signal_tpu.data import make_dataloader
     from signal_tpu.engine.eval import do_inference
-    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
     from signal_tpu.utils.logger import setup_logger
 
     out_dir = os.path.join(cfg.OUTPUT_DIR, cfg.ckpt_test_path)
@@ -106,23 +145,10 @@ def test_main(argv=None):
     (_, _, val_loader, num_query, num_classes, camera_num,
      view_num) = make_dataloader(cfg, num_shards=jax.process_count(),
                                  shard_index=jax.process_index())
-    spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
-    params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
-
-    weight = cfg.TEST.WEIGHT
-    if weight:
-        if weight.endswith((".pth", ".pt")):
-            from signal_tpu.models.clip_loader import load_reference_signal_checkpoint
-
-            params, bn_state = load_reference_signal_checkpoint(params, bn_state, weight, spec)
-            logger.info("Loaded torch reference checkpoint %s", weight)
-        else:
-            # subset restore: periodic snapshots also hold opt_state/epoch
-            from signal_tpu.utils.checkpoint import load_checkpoint_subset
-
-            tree = load_checkpoint_subset(weight, ("params", "bn_state"))
-            params, bn_state = tree["params"], tree["bn_state"]
-            logger.info("Loaded orbax checkpoint %s", weight)
+    spec, params, bn_state = build_model_for_test(
+        cfg, num_classes, camera_num, view_num)
+    if cfg.TEST.WEIGHT:
+        logger.info("Loaded checkpoint %s", cfg.TEST.WEIGHT)
 
     mesh = None
     if len(jax.devices()) > 1:

@@ -1,0 +1,123 @@
+"""AOT serving export: package the eval forward as a serialized
+StableHLO artifact.
+
+The reference serves by loading the full torch training module and
+calling ``forward(training=False)`` (`test.py:42-51`,
+`engine/processor.py:403-435` in maxingan2412/Signal) — deployment
+drags the whole framework along. TPU-native replacement: ``jax.export``
+the jitted eval step (weights baked in as constants) into a
+self-contained artifact that any JAX runtime — or a C++ PJRT host via
+the embedded StableHLO — can load and call without signal_tpu
+installed.
+
+Two export modes:
+
+* **symbolic batch** (default): the batch dim is a symbolic dimension,
+  one artifact serves any batch size. Requires the XLA attention path
+  (the Pallas kernel picks concrete batch tiles at trace time), which
+  XLA fuses well — the right trade for a shape-generic artifact.
+* **fixed batch**: concrete shapes; the Pallas fused-attention kernel
+  stays on when exporting on a TPU host. Fastest for a known serving
+  batch.
+
+The artifact directory holds ``model.stablehlo`` (serialized Exported)
+and ``manifest.json`` (input/output signature, dtypes, feature dim,
+normalization baked-in flag) so a serving host needs no out-of-band
+knowledge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+MODALITIES = ("RGB", "NI", "TI")
+
+
+def make_serving_fn(params, bn_state, spec, *,
+                    normalize: Optional[Tuple] = None):
+    """Closure (imgs dict, camids) → features with weights baked in.
+
+    ``normalize``: (mean, std) tuple → the graph takes raw uint8 crops
+    and runs torchvision-``Normalize`` on device (fused into the patch
+    conv); None → the caller feeds pre-normalized float images.
+    """
+    from signal_tpu.models.signal_model import forward_eval
+
+    def fn(imgs: Dict[str, jnp.ndarray], camids: jnp.ndarray) -> jnp.ndarray:
+        if normalize is not None:
+            from signal_tpu.data.augment import normalize_images
+
+            imgs = normalize_images(imgs, *normalize)
+        return forward_eval(params, bn_state, imgs, camids, spec)
+
+    return fn
+
+
+def export_eval(params, bn_state, spec, *,
+                image_size: Tuple[int, int],
+                batch: Optional[int] = None,
+                normalize: Optional[Tuple] = None,
+                platforms: Optional[Sequence[str]] = None) -> jexport.Exported:
+    """Export the eval forward. ``batch=None`` → symbolic batch dim
+    (forces the XLA attention path); an int → fixed-shape export with
+    the configured attention kernel."""
+    if batch is None and spec.use_flash:
+        # Pallas tile selection needs a concrete batch; XLA attention is
+        # shape-generic and GSPMD/fusion-friendly
+        spec = dataclasses.replace(spec, use_flash=False)
+
+    fn = make_serving_fn(params, bn_state, spec, normalize=normalize)
+
+    H, W = image_size
+    in_dtype = jnp.uint8 if normalize is not None else jnp.float32
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    imgs_spec = {m: jax.ShapeDtypeStruct((b, 3, H, W), in_dtype)
+                 for m in MODALITIES}
+    cam_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    return jexport.export(jax.jit(fn), **kwargs)(imgs_spec, cam_spec)
+
+
+def save_exported(exported: jexport.Exported, path: str, *,
+                  extra_manifest: Optional[dict] = None) -> str:
+    """Write ``model.stablehlo`` + ``manifest.json`` under ``path``."""
+    os.makedirs(path, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(path, "model.stablehlo"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": "jax.export.Exported",
+        "calling_convention_version": exported.calling_convention_version,
+        "platforms": list(exported.platforms),
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        "bytes": len(blob),
+    }
+    manifest.update(extra_manifest or {})
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return path
+
+
+def load_exported(path: str):
+    """Load an artifact directory → (callable, manifest). The callable
+    takes (imgs dict, camids) exactly like the exported closure."""
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+
+    def call(imgs: Dict[str, jnp.ndarray], camids: jnp.ndarray) -> jnp.ndarray:
+        return exported.call(imgs, camids)
+
+    return call, manifest

@@ -1,0 +1,90 @@
+"""AOT serving export (`signal_tpu/serving.py`): jax.export round-trip."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signal_tpu import serving
+from signal_tpu.config import Config
+from signal_tpu.models.signal_model import (ModelSpec, forward_eval,
+                                            init_signal_params)
+
+
+def _tiny():
+    cfg = Config()
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = True
+    cfg.MODEL.stageName = "together_CLS_Patch"
+    spec = ModelSpec.from_config(cfg, num_classes=8, camera_num=2)
+    spec = dataclasses.replace(spec, layers=2, width=256, feat_dim=64,
+                               num_heads=4, h=4, w=4, topk=4)
+    params, bn_state = init_signal_params(jax.random.PRNGKey(0), spec)
+    return spec, params, bn_state
+
+
+def test_symbolic_batch_export_round_trip(tmp_path):
+    """One artifact serves multiple batch sizes; features track the
+    direct forward (bf16 reassociation noise between compilations is
+    expected — compare by cosine)."""
+    spec, params, bn_state = _tiny()
+    ex = serving.export_eval(params, bn_state, spec, image_size=(64, 64))
+    path = serving.save_exported(ex, str(tmp_path / "artifact"),
+                                 extra_manifest={"feat_dim": 384})
+    call, manifest = serving.load_exported(path)
+    assert manifest["feat_dim"] == 384
+    assert manifest["bytes"] > 0
+
+    spec_x = dataclasses.replace(spec, use_flash=False)
+    for B in (2, 5):
+        rng = np.random.default_rng(B)
+        imgs = {m: jnp.asarray(rng.standard_normal((B, 3, 64, 64)),
+                               jnp.float32) for m in ("RGB", "NI", "TI")}
+        cam = jnp.asarray(rng.integers(0, 2, B), jnp.int32)
+        got = np.asarray(call(imgs, cam))
+        want = np.asarray(forward_eval(params, bn_state, imgs, cam, spec_x))
+        assert got.shape == (B, 384)
+        cos = np.sum(got * want, -1) / (
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1))
+        assert cos.min() > 0.999, cos
+        np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def test_uint8_fixed_batch_export(tmp_path):
+    """normalize=(mean,std) bakes the uint8→Normalize stage into the
+    graph: the artifact takes raw uint8 crops."""
+    spec, params, bn_state = _tiny()
+    ex = serving.export_eval(params, bn_state, spec, image_size=(64, 64),
+                             batch=3, normalize=((0.5,) * 3, (0.5,) * 3))
+    path = serving.save_exported(ex, str(tmp_path / "u8"))
+    call, manifest = serving.load_exported(path)
+    assert "uint8" in manifest["in_avals"][0]
+
+    rng = np.random.default_rng(0)
+    imgs = {m: jnp.asarray(rng.integers(0, 256, (3, 3, 64, 64)), jnp.uint8)
+            for m in ("RGB", "NI", "TI")}
+    cam = jnp.zeros((3,), jnp.int32)
+    out = np.asarray(call(imgs, cam))
+    assert out.shape == (3, 384) and np.isfinite(out).all()
+
+    # matches feeding pre-normalized floats to the direct forward
+    spec_x = dataclasses.replace(spec, use_flash=False)
+    f = {m: (v.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+         for m, v in imgs.items()}
+    want = np.asarray(forward_eval(params, bn_state, f, cam, spec_x))
+    np.testing.assert_allclose(out, want, atol=5e-2)
+
+
+def test_export_rejects_wrong_rank():
+    spec, params, bn_state = _tiny()
+    ex = serving.export_eval(params, bn_state, spec, image_size=(64, 64),
+                             batch=2)
+    bad = {m: jnp.zeros((2, 3, 32, 64), jnp.float32)
+           for m in ("RGB", "NI", "TI")}
+    try:
+        ex.call(bad, jnp.zeros((2,), jnp.int32))
+    except Exception:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("mismatched input shape was accepted")
