@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--num_classes", type=int, default=None,
                     help="classifier size (skip the dataset scan)")
     ap.add_argument("--camera_num", type=int, default=None)
+    ap.add_argument("--platforms", default=None,
+                    help="comma list, e.g. 'cpu,tpu': lower for several "
+                         "platforms so one artifact serves both (XLA "
+                         "attention path only)")
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -43,9 +47,11 @@ def main():
 
     normalize = (tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)) \
         if args.uint8 else None
+    platforms = args.platforms.split(",") if args.platforms else None
     ex = serving.export_eval(params, bn_state, spec,
                              image_size=tuple(cfg.INPUT.SIZE_TEST),
-                             batch=args.batch, normalize=normalize)
+                             batch=args.batch, normalize=normalize,
+                             platforms=platforms)
     path = serving.save_exported(ex, args.out, extra_manifest={
         "config_file": args.config_file,
         "weight": cfg.TEST.WEIGHT,

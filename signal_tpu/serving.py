@@ -68,9 +68,10 @@ def export_eval(params, bn_state, spec, *,
     """Export the eval forward. ``batch=None`` → symbolic batch dim
     (forces the XLA attention path); an int → fixed-shape export with
     the configured attention kernel."""
-    if batch is None and spec.use_flash:
-        # Pallas tile selection needs a concrete batch; XLA attention is
-        # shape-generic and GSPMD/fusion-friendly
+    if spec.use_flash and (batch is None or (platforms and len(platforms) > 1)):
+        # Pallas tile selection needs a concrete batch, and a Mosaic
+        # custom call can't lower for several platforms at once; the XLA
+        # attention path is shape-generic and portable
         spec = dataclasses.replace(spec, use_flash=False)
 
     fn = make_serving_fn(params, bn_state, spec, normalize=normalize)

@@ -88,3 +88,38 @@ def test_export_rejects_wrong_rank():
         pass
     else:  # pragma: no cover
         raise AssertionError("mismatched input shape was accepted")
+
+
+def test_multiplatform_export_and_mesh_serving(tmp_path):
+    """One artifact lowered for ('cpu','tpu'), and data-parallel serving:
+    the deserialized module called under jit with mesh-sharded inputs —
+    GSPMD partitions the embedded StableHLO."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device CPU mesh")
+
+    spec, params, bn_state = _tiny()
+    ex = serving.export_eval(params, bn_state, spec, image_size=(64, 64),
+                             platforms=("cpu", "tpu"))
+    assert tuple(ex.platforms) == ("cpu", "tpu")
+    path = serving.save_exported(ex, str(tmp_path / "mp"))
+    call, manifest = serving.load_exported(path)
+    assert manifest["platforms"] == ["cpu", "tpu"]
+
+    n = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    B = 2 * n
+    rng = np.random.default_rng(0)
+    imgs_np = {m: rng.standard_normal((B, 3, 64, 64)).astype(np.float32)
+               for m in ("RGB", "NI", "TI")}
+    imgs = {m: jax.device_put(jnp.asarray(v), sh) for m, v in imgs_np.items()}
+    cam = jax.device_put(jnp.zeros((B,), jnp.int32), sh)
+
+    served = np.asarray(jax.jit(call)(imgs, cam))
+    single = np.asarray(call(imgs_np, np.zeros((B,), np.int32)))
+    assert served.shape == (B, 384)
+    np.testing.assert_allclose(served, single, atol=5e-2)
