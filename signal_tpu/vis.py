@@ -68,6 +68,35 @@ def input_saliency(forward_fn, imgs: Dict, target_fn=None) -> Dict[str, np.ndarr
     return {k: np.abs(np.asarray(v)).max(axis=1) for k, v in grads.items()}
 
 
+def token_grad_cam(patches_fn, imgs: Dict, target_fn=None) -> Dict[str, np.ndarray]:
+    """Grad-CAM over the patch-token grid (`zablation/CAM.py` /
+    `visualize/GradCAM.py` in the reference, which hook conv/SIM
+    activations; a functional model needs no hooks).
+
+    ``patches_fn(imgs) -> {'RGB': [B, L, D], ...}`` patch activations at
+    the chosen layer; ``target_fn({mod: feats}) -> scalar`` score
+    (default: summed token norms). Returns per-modality [B, L] maps:
+    ReLU(Σ_d w_d · A_d) with w = gradient mean-pooled over tokens —
+    upsample onto the image with ``overlay_mask``/``masks_to_grids``."""
+    import jax
+    import jax.numpy as jnp
+
+    if target_fn is None:
+        target_fn = lambda a: sum(  # noqa: E731
+            jnp.sum(jnp.linalg.norm(f, axis=-1)) for f in a.values())
+
+    acts = patches_fn(imgs)
+    grads = jax.grad(target_fn)(acts)   # d target / d activations
+    out = {}
+    for k in acts:
+        a, g = np.asarray(acts[k]), np.asarray(grads[k])     # [B, L, D]
+        w = g.mean(axis=1, keepdims=True)                    # [B, 1, D]
+        cam = np.maximum((a * w).sum(-1), 0.0)               # [B, L]
+        denom = cam.max(axis=1, keepdims=True)
+        out[k] = cam / np.where(denom > 0, denom, 1.0)
+    return out
+
+
 # --------------------------------------------------------------------------
 # LAM offset fields
 # --------------------------------------------------------------------------

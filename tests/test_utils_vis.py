@@ -297,3 +297,26 @@ def test_plot_ablation_scrape_and_render(tmp_path):
     # CLI end-to-end: from-logs mode
     mod.main(["from-logs", str(tmp_path), "-o", str(tmp_path / "r.png")])
     assert os.path.getsize(tmp_path / "r.png") > 0
+
+
+def test_token_grad_cam():
+    """Grad-CAM over patch tokens: nonnegative, normalized to max 1,
+    and sensitive to which tokens carry signal."""
+    import jax.numpy as jnp
+
+    from signal_tpu.vis import token_grad_cam
+
+    B, L, D = 2, 8, 16
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+
+    def patches_fn(imgs):
+        # toy "layer": token 3 amplified by the input scalar
+        scale = jnp.ones((L,)).at[3].set(10.0)
+        return {"RGB": imgs["RGB"] * scale[None, :, None]}
+
+    cams = token_grad_cam(patches_fn, {"RGB": base})
+    cam = cams["RGB"]
+    assert cam.shape == (B, L)
+    assert (cam >= 0).all() and np.allclose(cam.max(axis=1), 1.0)
+    assert (cam.argmax(axis=1) == 3).all()   # the amplified token dominates
