@@ -174,8 +174,16 @@ def do_train(
     bn_state=None,
     max_steps_per_epoch: Optional[int] = None,
     resume_from: Optional[str] = None,
+    preempt_event=None,
 ) -> TrainState:
-    """Main training loop. Returns the final TrainState."""
+    """Main training loop. Returns the final TrainState.
+
+    Preemption safety (no reference equivalent — TPU pods get
+    preempted): SIGTERM sets a flag and the loop writes a full
+    resumable checkpoint (`<NAME>_preempt`) at the next step boundary,
+    then returns cleanly; relaunch with ``--resume`` to continue from
+    the interrupted epoch. ``preempt_event`` (threading.Event-like)
+    injects the same signal for tests."""
     key = key if key is not None else jax.random.PRNGKey(cfg.SOLVER.SEED)
     if params is None:
         params, bn_state = init_signal_params(key, spec)
@@ -252,6 +260,33 @@ def do_train(
     eval_step = make_eval_step(  # built once — re-jitting per epoch recompiles
         spec, normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD), mesh=mesh)
 
+    import signal as _signal
+    import threading
+
+    if preempt_event is None:
+        preempt_event = threading.Event()
+    prev_sigterm = None
+
+    def _on_sigterm(signum, frame):
+        preempt_event.set()
+        logger.info("SIGTERM received — checkpointing at the next step boundary")
+
+    try:  # signal handlers only install from the main thread
+        prev_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass
+
+    def _restore_sigterm():
+        if prev_sigterm is not None:
+            _signal.signal(_signal.SIGTERM, prev_sigterm)
+
+    def _preempt_save(epoch: int) -> None:
+        # epoch − 1: resume restarts the interrupted epoch from its top
+        path = os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}_preempt")
+        _save_checkpoint(path, state, epoch=epoch - 1, full=True)
+        logger.info("Preemption checkpoint written to %s — resume with "
+                    "--resume %s", path, path)
+
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS + 1):
         t0 = time.time()
         loss_meter.reset()
@@ -282,6 +317,10 @@ def do_train(
                     "Epoch[%d] Iteration[%d/%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
                     epoch, n_iter + 1, len(train_loader),
                     loss_meter.avg, acc_meter.avg, current_lr(cfg, epoch))
+            if preempt_event.is_set():
+                _preempt_save(epoch)
+                _restore_sigterm()
+                return state
             if max_steps_per_epoch and n_iter + 1 >= max_steps_per_epoch:
                 break
 
@@ -312,6 +351,7 @@ def do_train(
                 logger.info("Best %s: %.1f%%", k, 100 * best[k])
             logger.info("~" * 50)
 
+    _restore_sigterm()
     return state
 
 

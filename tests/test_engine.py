@@ -110,3 +110,37 @@ def test_checkpoint_subset_restore(tmp_path):
     sub = load_checkpoint_subset(path, ("params", "bn_state"))
     assert set(sub) == {"params", "bn_state"}
     np.testing.assert_array_equal(np.asarray(sub["params"]["w"]), 1.0)
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """A set preempt_event (the SIGTERM path) makes do_train write a full
+    resumable checkpoint at the next step boundary and return; --resume
+    from it restarts the interrupted epoch."""
+    import os
+    import threading
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SOLVER.MAX_EPOCHS = 5
+    cfg.SOLVER.EVAL_PERIOD = 99      # never reach in-loop eval
+    cfg.SOLVER.CHECKPOINT_PERIOD = 99
+    (train_loader, _, val_loader, num_query, num_classes, cam_num,
+     _) = make_dataloader(cfg)
+    spec = _tiny_spec(cfg, num_classes, cam_num)
+
+    ev = threading.Event()
+    ev.set()                          # "preempted" before the first boundary
+    state = do_train(cfg, spec, train_loader, None, num_query, num_classes,
+                     preempt_event=ev)
+    assert state.params is not None
+
+    ckpt = os.path.join(str(tmp_path), cfg.ckpt_save_path, "Signal_preempt")
+    assert os.path.isdir(ckpt)
+
+    # resume restarts epoch 1 (saved epoch is 0) and trains to completion
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.SOLVER.MAX_EPOCHS = 1
+    cfg2.SOLVER.EVAL_PERIOD = 99
+    cfg2.SOLVER.CHECKPOINT_PERIOD = 99
+    state2 = do_train(cfg2, spec, train_loader, None, num_query, num_classes,
+                      max_steps_per_epoch=2, resume_from=ckpt)
+    assert state2.params is not None
