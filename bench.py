@@ -15,6 +15,8 @@ plus the analytic Pallas-attention FLOPs (`signal_tpu/utils/flops.py`).
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 import jax
@@ -22,6 +24,39 @@ import jax.numpy as jnp
 
 REFERENCE_EVAL_IMGS_PER_S = 4787 * 1.0 / 67.0  # ≈ 71.4 (3-modal samples/s)
 REFERENCE_TRAIN_SAMPLES_PER_S = 202.2          # A100-80GB, full model, B=64
+
+
+def _arm_watchdog(deadline_s: float | None = None):
+    """Guard against the remote-TPU tunnel hanging the bench forever.
+
+    Device init / compile RPCs through the tunnel block with no timeout
+    when the other end is down; a silent hang records nothing. If the
+    result line has not printed within ``SIGNAL_TPU_BENCH_WATCHDOG_S``
+    seconds (default 2700 — a normal run is ~10 min), print a diagnostic
+    JSON line in the same schema and hard-exit 3 so the failure is
+    attributable. Returns a disarm callback; 0 disables."""
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("SIGNAL_TPU_BENCH_WATCHDOG_S",
+                                          "2700"))
+    if deadline_s <= 0:
+        return lambda: None
+    done = threading.Event()
+
+    def _fire():
+        if not done.wait(deadline_s):
+            print(json.dumps({
+                "metric": "3modal_eval_imgs_per_s_per_chip",
+                "value": 0.0,
+                "unit": "samples/s",
+                "vs_baseline": 0.0,
+                "error": f"bench did not complete within {deadline_s:.0f}s"
+                         " — TPU backend unreachable or a compile RPC hung"
+                         " (tunnel down?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return done.set
 
 
 def _retry(fn):
@@ -240,6 +275,8 @@ def flagship_cfg(overrides=None):
 def main():
     import sys
 
+    disarm_watchdog = _arm_watchdog()
+
     from signal_tpu.models.signal_model import ModelSpec, init_signal_params
     from signal_tpu.utils.flops import (
         peak_flops_per_chip, signal_analytic_flops)
@@ -296,6 +333,7 @@ def main():
                 e2e_breakdown["decode_samples_per_s"] / host_cpus, 1e-9), 1),
         "device_kind": kind,
     }))
+    disarm_watchdog()
 
 
 if __name__ == "__main__":
