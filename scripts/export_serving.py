@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--num_classes", type=int, default=None,
                     help="classifier size (skip the dataset scan)")
     ap.add_argument("--camera_num", type=int, default=None)
+    ap.add_argument("--view_num", type=int, default=1,
+                    help="view count for the SIE table (MODEL.SIE_VIEW "
+                         "checkpoints); must match the training dataset")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. 'cpu,tpu': lower for several "
                          "platforms so one artifact serves both (XLA "
@@ -43,7 +46,8 @@ def main():
 
     cfg = load_config(args.config_file, args.opts)
     spec, params, bn_state = build_model_for_test(
-        cfg, num_classes=args.num_classes, camera_num=args.camera_num)
+        cfg, num_classes=args.num_classes, camera_num=args.camera_num,
+        view_num=args.view_num)
 
     normalize = (tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)) \
         if args.uint8 else None

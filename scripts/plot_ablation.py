@@ -70,6 +70,8 @@ def plot_bars(x: Sequence, series: Dict[str, List[float]], save_path: str,
                       label=name, zorder=2, edgecolor="white", linewidth=0.8)
         if annotate and len(x) * n <= 24:
             for b in bars:
+                if not np.isfinite(b.get_height()):
+                    continue  # scraped run missing this metric
                 ax.annotate(f"{b.get_height():.1f}",
                             xy=(b.get_x() + b.get_width() / 2, b.get_height()),
                             xytext=(0, 2), textcoords="offset points",
@@ -81,8 +83,9 @@ def plot_bars(x: Sequence, series: Dict[str, List[float]], save_path: str,
     ax.set_ylabel(ylabel)
     if title:
         ax.set_title(title)
-    lo = min(min(v) for v in series.values())
-    hi = max(max(v) for v in series.values())
+    # NaN marks a scraped run missing a metric — it must not poison ylim
+    finite = [v for ys in series.values() for v in ys if np.isfinite(v)]
+    lo, hi = (min(finite), max(finite)) if finite else (0.0, 1.0)
     pad = max(1.0, 0.1 * (hi - lo))
     ax.set_ylim(max(0.0, lo - pad), hi + 2 * pad)
     if len(series) >= 2:
@@ -154,6 +157,18 @@ def scrape_logs(paths: Sequence[str]) -> Dict[str, Dict[str, float]]:
                 if m:
                     metrics[m.group(1)] = float(m.group(2))
         if metrics:
+            # two runs can share a basename (sweepA/sign1, sweepB/sign1):
+            # prefix parent directories until the key is unique rather
+            # than silently overwriting the earlier run
+            parent = os.path.dirname(
+                os.path.dirname(f) if os.path.basename(f) == "train_log.txt"
+                else f)
+            while name in out:
+                parent, seg = os.path.split(parent)
+                if not seg:
+                    name = "_" + name
+                else:
+                    name = f"{seg}/{name}"
             out[name] = metrics
     return out
 

@@ -93,12 +93,20 @@ def build_model_for_test(cfg, num_classes: int | None = None,
         (_, _, _, _, num_classes, camera_num,
          view_num) = make_dataloader(cfg, num_shards=_jax.process_count(),
                                      shard_index=_jax.process_index())
+    elif cfg.MODEL.SIE_CAMERA and camera_num is None:
+        # the SIE table shape is (camera_num[*view_num], width) — a
+        # guessed count builds a table the checkpoint can't load into
+        raise ValueError(
+            "num_classes was given without camera_num but MODEL.SIE_CAMERA "
+            "is on; pass camera_num (and view_num when MODEL.SIE_VIEW) "
+            "matching the checkpoint's dataset")
 
     import jax
 
     from signal_tpu.models.signal_model import ModelSpec, init_signal_params
 
-    spec = ModelSpec.from_config(cfg, num_classes, camera_num or 1, view_num)
+    spec = ModelSpec.from_config(
+        cfg, num_classes, camera_num if camera_num is not None else 1, view_num)
     params, bn_state = init_signal_params(
         jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
 

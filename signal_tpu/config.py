@@ -64,10 +64,13 @@ class ModelConfig:
                                        # | 'attn' (save attention outs) | 'attn_mlp'
                                        # (save attention+MLP outs) | 'half' (remat only
                                        # the first 6 blocks); see models/vit.py
-    SCAN_UNROLL: int = 1               # lax.scan unroll over the ViT blocks: 1 = rolled
-                                       # while-loop (compact HLO), N = unroll N blocks per
-                                       # iteration (trades compile time for removing the
-                                       # scan's dynamic-slice/DUS + layout copies)
+    SCAN_UNROLL: int = 1               # lax.scan unroll over the CLIP tower's ViT blocks
+                                       # (Signal path only — the imagenet tower is a
+                                       # Python loop, i.e. always fully unrolled; t2t and
+                                       # clipreid stay rolled): 1 = rolled while-loop
+                                       # (compact HLO), N = unroll N blocks per iteration
+                                       # (trades compile time for removing the scan's
+                                       # dynamic-slice/DUS + layout copies)
 
 
 @dataclass

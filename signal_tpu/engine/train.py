@@ -266,6 +266,7 @@ def do_train(
     if preempt_event is None:
         preempt_event = threading.Event()
     prev_sigterm = None
+    sigterm_installed = False
 
     def _on_sigterm(signum, frame):
         preempt_event.set()
@@ -273,85 +274,99 @@ def do_train(
 
     try:  # signal handlers only install from the main thread
         prev_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+        sigterm_installed = True
     except ValueError:
         pass
 
     def _restore_sigterm():
-        if prev_sigterm is not None:
-            _signal.signal(_signal.SIGTERM, prev_sigterm)
+        if sigterm_installed:
+            # a None prev means the old handler was installed from C; fall
+            # back to the default disposition rather than keeping ours
+            _signal.signal(_signal.SIGTERM,
+                           prev_sigterm if prev_sigterm is not None
+                           else _signal.SIG_DFL)
 
-    def _preempt_save(epoch: int) -> None:
-        # epoch − 1: resume restarts the interrupted epoch from its top
+    def _preempt_save(resume_epoch: int) -> None:
+        # the saved epoch is the last COMPLETED one; --resume restarts
+        # at resume_epoch + 1 (mid-epoch saves pass epoch − 1: the
+        # interrupted epoch reruns from its top)
         path = os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}_preempt")
-        _save_checkpoint(path, state, epoch=epoch - 1, full=True)
+        _save_checkpoint(path, state, epoch=resume_epoch, full=True)
         logger.info("Preemption checkpoint written to %s — resume with "
                     "--resume %s", path, path)
 
-    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS + 1):
-        t0 = time.time()
-        loss_meter.reset()
-        acc_meter.reset()
-        lr_a, lr_b = schedule_coeffs(cfg, epoch)
-        n_iter = 0
-        pending = []
-        needs_rng = device_augment or (spec.backbone == "imagenet"
-                                       and spec.drop_path > 0)
-        for n_iter, batch in enumerate(train_loader):
-            db = _device_batch(batch, mesh)
-            step_rng = (jax.random.fold_in(key, epoch * 100000 + n_iter)
-                        if needs_rng else None)
-            (state.params, state.bn_state, state.opt_state, loss, acc,
-             state.centers) = train_step(
-                state.params, state.bn_state, state.opt_state, db,
-                jnp.float32(lr_a), jnp.float32(lr_b), group_trees, step_rng,
-                state.centers)
-            # keep loss/acc on device; fetching every step would serialize
-            # host↔TPU (the reference's .item() per step, `processor.py:280`)
-            pending.append((loss, acc, batch["imgs"]["RGB"].shape[0]))
-            if (n_iter + 1) % log_period == 0:
-                for pl, pa, n in pending:
-                    loss_meter.update(float(pl), n)
-                    acc_meter.update(float(pa), 1)
-                pending.clear()
-                logger.info(
-                    "Epoch[%d] Iteration[%d/%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
-                    epoch, n_iter + 1, len(train_loader),
-                    loss_meter.avg, acc_meter.avg, current_lr(cfg, epoch))
-            if preempt_event.is_set():
+    try:
+        for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS + 1):
+            t0 = time.time()
+            loss_meter.reset()
+            acc_meter.reset()
+            lr_a, lr_b = schedule_coeffs(cfg, epoch)
+            n_iter = 0
+            pending = []
+            needs_rng = device_augment or (spec.backbone == "imagenet"
+                                           and spec.drop_path > 0)
+            for n_iter, batch in enumerate(train_loader):
+                db = _device_batch(batch, mesh)
+                step_rng = (jax.random.fold_in(key, epoch * 100000 + n_iter)
+                            if needs_rng else None)
+                (state.params, state.bn_state, state.opt_state, loss, acc,
+                 state.centers) = train_step(
+                    state.params, state.bn_state, state.opt_state, db,
+                    jnp.float32(lr_a), jnp.float32(lr_b), group_trees, step_rng,
+                    state.centers)
+                # keep loss/acc on device; fetching every step would serialize
+                # host↔TPU (the reference's .item() per step, `processor.py:280`)
+                pending.append((loss, acc, batch["imgs"]["RGB"].shape[0]))
+                if (n_iter + 1) % log_period == 0:
+                    for pl, pa, n in pending:
+                        loss_meter.update(float(pl), n)
+                        acc_meter.update(float(pa), 1)
+                    pending.clear()
+                    logger.info(
+                        "Epoch[%d] Iteration[%d/%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
+                        epoch, n_iter + 1, len(train_loader),
+                        loss_meter.avg, acc_meter.avg, current_lr(cfg, epoch))
+                if preempt_event.is_set():
+                    _preempt_save(epoch - 1)
+                    return state
+                if max_steps_per_epoch and n_iter + 1 >= max_steps_per_epoch:
+                    break
+
+            for pl, pa, n in pending:
+                loss_meter.update(float(pl), n)
+                acc_meter.update(float(pa), 1)
+            pending.clear()
+            time_per_batch = (time.time() - t0) / (n_iter + 1)
+            logger.info("Epoch %d done. Time per batch: %.3f[s] Speed: %.1f[samples/s]",
+                        epoch, time_per_batch,
+                        cfg.SOLVER.IMS_PER_BATCH / time_per_batch)
+
+            if epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+                # full resumable snapshot (params + BN + optimizer + epoch) — the
+                # reference saves model-only and cannot resume (`processor.py:310-321`)
+                _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}_{epoch}"),
+                                 state, epoch=epoch, full=True)
+
+            if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and val_loader is not None:
+                mAP, cmc = _neat_eval(cfg, spec, state, val_loader, evaluator, epoch,
+                                      eval_step=eval_step, mesh=mesh)
+                if mAP >= best["mAP"]:
+                    best.update({"mAP": mAP, "Rank-1": cmc[0], "Rank-5": cmc[4],
+                                 "Rank-10": cmc[9]})
+                    _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}best"), state)
+                logger.info("~" * 50)
+                for k in ("mAP", "Rank-1", "Rank-5", "Rank-10"):
+                    logger.info("Best %s: %.1f%%", k, 100 * best[k])
+                logger.info("~" * 50)
+
+            if preempt_event.is_set() and epoch < cfg.SOLVER.MAX_EPOCHS:
+                # SIGTERM during epoch-end eval/checkpointing: act at the
+                # epoch boundary instead of waiting for a full step of the
+                # next epoch (this epoch completed, so resume at epoch + 1)
                 _preempt_save(epoch)
-                _restore_sigterm()
                 return state
-            if max_steps_per_epoch and n_iter + 1 >= max_steps_per_epoch:
-                break
-
-        for pl, pa, n in pending:
-            loss_meter.update(float(pl), n)
-            acc_meter.update(float(pa), 1)
-        pending.clear()
-        time_per_batch = (time.time() - t0) / (n_iter + 1)
-        logger.info("Epoch %d done. Time per batch: %.3f[s] Speed: %.1f[samples/s]",
-                    epoch, time_per_batch,
-                    cfg.SOLVER.IMS_PER_BATCH / time_per_batch)
-
-        if epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
-            # full resumable snapshot (params + BN + optimizer + epoch) — the
-            # reference saves model-only and cannot resume (`processor.py:310-321`)
-            _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}_{epoch}"),
-                             state, epoch=epoch, full=True)
-
-        if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and val_loader is not None:
-            mAP, cmc = _neat_eval(cfg, spec, state, val_loader, evaluator, epoch,
-                                  eval_step=eval_step, mesh=mesh)
-            if mAP >= best["mAP"]:
-                best.update({"mAP": mAP, "Rank-1": cmc[0], "Rank-5": cmc[4],
-                             "Rank-10": cmc[9]})
-                _save_checkpoint(os.path.join(ckpt_dir, f"{cfg.MODEL.NAME}best"), state)
-            logger.info("~" * 50)
-            for k in ("mAP", "Rank-1", "Rank-5", "Rank-10"):
-                logger.info("Best %s: %.1f%%", k, 100 * best[k])
-            logger.info("~" * 50)
-
-    _restore_sigterm()
+    finally:
+        _restore_sigterm()
     return state
 
 

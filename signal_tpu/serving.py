@@ -68,10 +68,17 @@ def export_eval(params, bn_state, spec, *,
     """Export the eval forward. ``batch=None`` → symbolic batch dim
     (forces the XLA attention path); an int → fixed-shape export with
     the configured attention kernel."""
-    if spec.use_flash and (batch is None or (platforms and len(platforms) > 1)):
-        # Pallas tile selection needs a concrete batch, and a Mosaic
-        # custom call can't lower for several platforms at once; the XLA
-        # attention path is shape-generic and portable
+    # The Pallas kernel may only survive into the artifact when the
+    # lowering it traces matches the (single) platform the artifact
+    # targets: tile selection needs a concrete batch, and the kernel's
+    # lowering is backend-dependent — a Mosaic custom call traced on a
+    # TPU host can't run on a CPU serving host, and the interpret-mode
+    # HLO traced on a CPU host would bake slow emulation into a TPU
+    # artifact. Anything else takes the shape-generic, portable XLA
+    # attention path.
+    targets = tuple(platforms) if platforms else (jax.default_backend(),)
+    if spec.use_flash and (batch is None or targets != ("tpu",)
+                          or jax.default_backend() != "tpu"):
         spec = dataclasses.replace(spec, use_flash=False)
 
     fn = make_serving_fn(params, bn_state, spec, normalize=normalize)

@@ -76,6 +76,38 @@ def test_uint8_fixed_batch_export(tmp_path):
     np.testing.assert_allclose(out, want, atol=5e-2)
 
 
+def test_fixed_batch_export_off_tpu_drops_pallas():
+    """A flash-enabled spec exported at a fixed batch on a non-TPU host
+    (or for a non-TPU target) must fall back to XLA attention — the
+    kernel's lowering is backend-dependent, so keeping it would bake
+    either an unloadable Mosaic call or slow interpret-mode emulation
+    into the artifact."""
+    spec, params, bn_state = _tiny()
+    spec = dataclasses.replace(spec, use_flash=True)
+    assert jax.default_backend() != "tpu"  # conftest pins CPU
+    for platforms in (None, ("cpu",), ("tpu",)):
+        ex = serving.export_eval(params, bn_state, spec,
+                                 image_size=(64, 64), batch=2,
+                                 platforms=platforms)
+        # NB: can't grep for 'pallas' — MLIR loc metadata embeds the
+        # caller's (this test's) function name
+        assert "tpu_custom_call" not in ex.mlir_module()
+
+
+def test_build_model_for_test_requires_camera_num_with_sie():
+    """Skipping the dataset scan (--num_classes) while MODEL.SIE_CAMERA
+    is on must fail fast: a guessed camera count builds an SIE table the
+    checkpoint cannot load into."""
+    import pytest
+
+    from signal_tpu.cli import build_model_for_test
+
+    cfg = Config()
+    assert cfg.MODEL.SIE_CAMERA
+    with pytest.raises(ValueError, match="camera_num"):
+        build_model_for_test(cfg, num_classes=8)
+
+
 def test_export_rejects_wrong_rank():
     spec, params, bn_state = _tiny()
     ex = serving.export_eval(params, bn_state, spec, image_size=(64, 64),

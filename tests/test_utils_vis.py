@@ -298,6 +298,20 @@ def test_plot_ablation_scrape_and_render(tmp_path):
     mod.main(["from-logs", str(tmp_path), "-o", str(tmp_path / "r.png")])
     assert os.path.getsize(tmp_path / "r.png") > 0
 
+    # a run missing a requested metric scrapes to NaN — the chart must
+    # still render (NaN may not poison ylim or the value labels)
+    mod.main(["from-logs", str(tmp_path), "-o", str(tmp_path / "n.png"),
+              "--metrics", "mAP,Rank-5"])
+    assert os.path.getsize(tmp_path / "n.png") > 0
+
+    # two sweeps with the same run basename: both must survive scraping
+    for sweep in ("sweepA", "sweepB"):
+        d = tmp_path / sweep / "sign1"
+        d.mkdir(parents=True)
+        (d / "train_log.txt").write_text("INFO Best mAP: 50.0%\n")
+    both = mod.scrape_logs([str(tmp_path / "sweepA"), str(tmp_path / "sweepB")])
+    assert len(both) == 2 and all(v == {"mAP": 50.0} for v in both.values())
+
 
 def test_token_grad_cam():
     """Grad-CAM over patch tokens: nonnegative, normalized to max 1,
