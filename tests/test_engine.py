@@ -112,6 +112,44 @@ def test_checkpoint_subset_restore(tmp_path):
     np.testing.assert_array_equal(np.asarray(sub["params"]["w"]), 1.0)
 
 
+def test_preemption_at_epoch_boundary(tmp_path, monkeypatch):
+    """SIGTERM landing during epoch-end eval is acted on at the epoch
+    boundary (saved epoch = the completed one, so resume starts at the
+    next) instead of waiting for a step of the next epoch."""
+    import os
+
+    from signal_tpu.engine import train as train_mod
+    from signal_tpu.utils.checkpoint import load_checkpoint_subset
+
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SOLVER.MAX_EPOCHS = 3
+    cfg.SOLVER.EVAL_PERIOD = 1
+    cfg.SOLVER.CHECKPOINT_PERIOD = 99
+    (train_loader, _, val_loader, num_query, num_classes, cam_num,
+     _) = make_dataloader(cfg)
+    spec = _tiny_spec(cfg, num_classes, cam_num)
+
+    import threading
+
+    ev = threading.Event()
+    real_eval = train_mod._neat_eval
+
+    def eval_then_sigterm(*a, **kw):
+        out = real_eval(*a, **kw)
+        ev.set()  # "signal arrived while evaluating"
+        return out
+
+    monkeypatch.setattr(train_mod, "_neat_eval", eval_then_sigterm)
+    state = do_train(cfg, spec, train_loader, val_loader, num_query,
+                     num_classes, max_steps_per_epoch=1, preempt_event=ev)
+    assert state.params is not None
+
+    ckpt = os.path.join(str(tmp_path), cfg.ckpt_save_path, "Signal_preempt")
+    assert os.path.isdir(ckpt)
+    saved = load_checkpoint_subset(ckpt, ("epoch",))
+    assert int(saved["epoch"]) == 1  # epoch 1 completed; resume runs 2..3
+
+
 def test_preemption_checkpoint_and_resume(tmp_path):
     """A set preempt_event (the SIGTERM path) makes do_train write a full
     resumable checkpoint at the next step boundary and return; --resume
