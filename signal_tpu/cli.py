@@ -85,14 +85,14 @@ def build_model_for_test(cfg, num_classes: int | None = None,
     half of ``test_main``, also used by scripts/export_serving.py. When
     ``num_classes`` is None the dataset is scanned for the counts (the
     classifier head shapes must match the checkpoint)."""
+    import jax
+
     if num_classes is None:
         from signal_tpu.data import make_dataloader
 
-        import jax as _jax
-
         (_, _, _, _, num_classes, camera_num,
-         view_num) = make_dataloader(cfg, num_shards=_jax.process_count(),
-                                     shard_index=_jax.process_index())
+         view_num) = make_dataloader(cfg, num_shards=jax.process_count(),
+                                     shard_index=jax.process_index())
     elif cfg.MODEL.SIE_CAMERA and camera_num is None:
         # the SIE table shape is (camera_num[*view_num], width) — a
         # guessed count builds a table the checkpoint can't load into
@@ -100,8 +100,6 @@ def build_model_for_test(cfg, num_classes: int | None = None,
             "num_classes was given without camera_num but MODEL.SIE_CAMERA "
             "is on; pass camera_num (and view_num when MODEL.SIE_VIEW) "
             "matching the checkpoint's dataset")
-
-    import jax
 
     from signal_tpu.models.signal_model import ModelSpec, init_signal_params
 

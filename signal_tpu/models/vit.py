@@ -252,11 +252,11 @@ def vit_forward(
     # unrolled, 429 at unroll=4 — XLA already overlaps the remat-save
     # copies with compute); kept as a tuning lever for other shapes
     unroll = max(1, int(unroll))
+    n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
 
     if return_intermediate:
         # split the scan so the penultimate layer's output is observable
         # (CLIP-ReID consumes it as `image_features_last`)
-        n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
         head = jax.tree.map(lambda a: a[: n_layers - 1], params["blocks"])
         tail = jax.tree.map(lambda a: a[n_layers - 1], params["blocks"])
         x_last, _ = jax.lax.scan(body, x, head, unroll=min(unroll, n_layers - 1))
@@ -267,14 +267,12 @@ def vit_forward(
         def body_ckpt(carry, layer_params):
             return ckpt_fn(layer_params, carry), None
 
-        n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
         k = n_layers // 2
         head = jax.tree.map(lambda a: a[:k], params["blocks"])
         tail = jax.tree.map(lambda a: a[k:], params["blocks"])
         x, _ = jax.lax.scan(body_ckpt, x, head, unroll=min(unroll, k))  # remat'd half
         x, _ = jax.lax.scan(body, x, tail, unroll=min(unroll, n_layers - k))  # stored half
     else:
-        n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
         x, _ = jax.lax.scan(body, x, params["blocks"],
                             unroll=min(unroll, n_layers))
 
