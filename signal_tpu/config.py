@@ -137,6 +137,14 @@ class SolverConfig:
     LOG_PERIOD: int = 10
     EVAL_PERIOD: int = 5
     IMS_PER_BATCH: int = 128
+    # --- TPU-native knob (no reference equivalent) ---
+    # gradient accumulation: split the global batch into ACCUM_ITER
+    # contiguous microbatches run sequentially (lax.scan) with ONE
+    # optimizer update on the averaged grads — large effective batches
+    # beyond HBM. Batch-level losses (triplet mining, GAM) operate
+    # within each microbatch; keep IMS_PER_BATCH/ACCUM_ITER a multiple
+    # of DATALOADER.NUM_INSTANCE so P×K identity groups stay intact.
+    ACCUM_ITER: int = 1
 
 
 @dataclass

@@ -74,50 +74,104 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
     aug_fill = tuple((0.0 - float(m)) / float(s) for m, s in
                      zip(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
+    accum = max(1, int(getattr(cfg.SOLVER, "ACCUM_ITER", 1)))
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bn_state, opt_state, batch, lr_a, lr_b, group_trees,
                    rng=None, centers=None):
         base_lr_tree, wd_tree, trainable_tree = group_trees
-        imgs = batch["imgs"]
-        if any(v.dtype == jnp.uint8 for v in imgs.values()):
-            # loader shipped raw uint8 pixels (4× less transfer); run
-            # torchvision-Normalize here, fused into the forward
-            from signal_tpu.data.augment import normalize_images
 
-            imgs = normalize_images(imgs, pixel_mean, pixel_std)
-        model_rng = rng
-        if device_augment:
-            from signal_tpu.data.augment import augment_batch
+        def prepare(imgs, step_rng):
+            if any(v.dtype == jnp.uint8 for v in imgs.values()):
+                # loader shipped raw uint8 pixels (4× less transfer); run
+                # torchvision-Normalize here, fused into the forward
+                from signal_tpu.data.augment import normalize_images
 
-            assert rng is not None, "device_augment needs a per-step rng"
-            aug_rng = jax.random.fold_in(rng, 0)
-            model_rng = jax.random.fold_in(rng, 1)
-            imgs = augment_batch(aug_rng, imgs, flip_prob=flip_prob,
-                                 re_prob=re_prob, padding=aug_padding,
-                                 fill=aug_fill)
+                imgs = normalize_images(imgs, pixel_mean, pixel_std)
+            model_rng = step_rng
+            if device_augment:
+                from signal_tpu.data.augment import augment_batch
 
-        def objective(p, c):
-            out, new_bn = forward_train(p, bn_state, imgs, batch["camids"],
-                                        spec, rng=model_rng)
-            loss = total_train_loss(out, batch["pids"], loss_fn,
+                assert step_rng is not None, "device_augment needs a per-step rng"
+                aug_rng = jax.random.fold_in(step_rng, 0)
+                model_rng = jax.random.fold_in(step_rng, 1)
+                imgs = augment_batch(aug_rng, imgs, flip_prob=flip_prob,
+                                     re_prob=re_prob, padding=aug_padding,
+                                     fill=aug_fill)
+            return imgs, model_rng
+
+        def objective(p, c, bn, imgs, pids, camids, model_rng):
+            out, new_bn = forward_train(p, bn, imgs, camids, spec,
+                                        rng=model_rng)
+            loss = total_train_loss(out, pids, loss_fn,
                                     gram_weight=gram_w, pat_weight=pat_w)
             if use_center and c is not None:
                 from signal_tpu.losses import center_loss
 
-                loss = loss + center_w * center_loss(c, out["feats"][0], batch["pids"])
+                loss = loss + center_w * center_loss(c, out["feats"][0], pids)
             acc = jnp.mean(
-                (jnp.argmax(out["scores"][0], axis=1) == batch["pids"]).astype(jnp.float32))
+                (jnp.argmax(out["scores"][0], axis=1) == pids).astype(jnp.float32))
             return loss, (new_bn, acc)
 
-        if use_center and centers is not None:
-            (loss, (new_bn, acc)), (grads, center_grad) = jax.value_and_grad(
-                objective, argnums=(0, 1), has_aux=True)(params, centers)
-            # reference: center grads scaled by 1/CENTER_LOSS_WEIGHT, plain
-            # SGD(lr=CENTER_LR) (`processor.py:264-269`, `make_optimizer.py:43`)
-            centers = centers - center_lr * (center_grad / center_w)
+        has_center = use_center and centers is not None
+        if accum == 1:
+            imgs, model_rng = prepare(batch["imgs"], rng)
+            pids, camids = batch["pids"], batch["camids"]
+            if has_center:
+                (loss, (new_bn, acc)), (grads, center_grad) = jax.value_and_grad(
+                    objective, argnums=(0, 1), has_aux=True)(
+                        params, centers, bn_state, imgs, pids, camids, model_rng)
+                # reference: center grads scaled by 1/CENTER_LOSS_WEIGHT, plain
+                # SGD(lr=CENTER_LR) (`processor.py:264-269`, `make_optimizer.py:43`)
+                centers = centers - center_lr * (center_grad / center_w)
+            else:
+                (loss, (new_bn, acc)), grads = jax.value_and_grad(
+                    lambda p: objective(p, None, bn_state, imgs, pids, camids,
+                                        model_rng), has_aux=True)(params)
         else:
-            (loss, (new_bn, acc)), grads = jax.value_and_grad(
-                lambda p: objective(p, None), has_aux=True)(params)
+            # gradient accumulation (SOLVER.ACCUM_ITER): batch arrives
+            # [A, B/A, ...]; scan the microbatches sequentially — the
+            # peak-memory forward/backward sees B/A samples — summing
+            # grads (fp32) and threading BN state, then apply ONE update
+            # on the average. Batch-level losses (triplet mining, GAM)
+            # operate within each microbatch by construction.
+            def grads_of(bn, imgs, pids, camids, model_rng):
+                if has_center:
+                    return jax.value_and_grad(objective, argnums=(0, 1),
+                                              has_aux=True)(
+                        params, centers, bn, imgs, pids, camids, model_rng)
+                la, g = jax.value_and_grad(
+                    lambda p: objective(p, None, bn, imgs, pids, camids,
+                                        model_rng), has_aux=True)(params)
+                return la, (g, jnp.float32(0.0))
+
+            def body(carry, xs):
+                bn, gsum, cgsum, lsum, asum = carry
+                mb_imgs, mb_pids, mb_camids, idx = xs
+                mb_rng = (jax.random.fold_in(rng, idx)
+                          if rng is not None else None)
+                mb_imgs, model_rng = prepare(mb_imgs, mb_rng)
+                (loss, (new_bn, acc)), (g, cg) = grads_of(
+                    bn, mb_imgs, mb_pids, mb_camids, model_rng)
+                gsum = jax.tree.map(
+                    lambda s, x: s + x.astype(jnp.float32), gsum, g)
+                cgsum = jax.tree.map(jnp.add, cgsum, cg)
+                return (new_bn, gsum, cgsum, lsum + loss, asum + acc), None
+
+            init = (bn_state,
+                    jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32),
+                                 params),
+                    jnp.zeros_like(centers) if has_center else jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.float32(0.0))
+            xs = (batch["imgs"], batch["pids"], batch["camids"],
+                  jnp.arange(accum))
+            (new_bn, gsum, cgsum, lsum, asum), _ = jax.lax.scan(body, init, xs)
+            inv = jnp.float32(1.0 / accum)
+            grads = jax.tree.map(lambda s, p: (s * inv).astype(p.dtype),
+                                 gsum, params)
+            loss, acc = lsum * inv, asum * inv
+            if has_center:
+                centers = centers - center_lr * ((cgsum * inv) / center_w)
         if use_sgd:
             new_params, new_opt = sgd_update(
                 grads, opt_state, params,
@@ -147,16 +201,28 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
     return train_step_with_mesh
 
 
-def _device_batch(batch, mesh=None) -> Dict:
+def _device_batch(batch, mesh=None, accum: int = 1) -> Dict:
+    def prep(x):
+        x = np.asarray(x)
+        if accum > 1:
+            if x.shape[0] % accum:
+                raise ValueError(
+                    f"SOLVER.ACCUM_ITER={accum} must divide the batch size "
+                    f"({x.shape[0]})")
+            # [A, B/A, ...] — contiguous chunks keep P×K identity groups
+            # intact (the PK sampler emits K-instance runs per id)
+            x = x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+        return jnp.asarray(x)
+
     out = {
-        "imgs": {k: jnp.asarray(v) for k, v in batch["imgs"].items()},
-        "pids": jnp.asarray(batch["pids"]),
-        "camids": jnp.asarray(batch["camids"]),
+        "imgs": {k: prep(v) for k, v in batch["imgs"].items()},
+        "pids": prep(batch["pids"]),
+        "camids": prep(batch["camids"]),
     }
     if mesh is not None:
         from signal_tpu.parallel.mesh import shard_batch
 
-        out = shard_batch(out, mesh)
+        out = shard_batch(out, mesh, batch_axis=1 if accum > 1 else 0)
     return out
 
 
@@ -217,6 +283,14 @@ def do_train(
     device_augment = bool(getattr(train_loader, "device_augment", False))
     train_step = make_train_step(spec, cfg, num_classes,
                                  device_augment=device_augment, mesh=mesh)
+    accum = max(1, int(getattr(cfg.SOLVER, "ACCUM_ITER", 1)))
+    k_inst = max(1, int(cfg.DATALOADER.NUM_INSTANCE))
+    if accum > 1 and (cfg.SOLVER.IMS_PER_BATCH // accum) % k_inst:
+        logger.warning(
+            "ACCUM_ITER=%d gives microbatches of %d — not a multiple of "
+            "NUM_INSTANCE=%d, so P×K identity groups split across "
+            "microbatches and triplet mining weakens", accum,
+            cfg.SOLVER.IMS_PER_BATCH // accum, k_inst)
 
     scene_aware = cfg.DATASETS.NAMES == "MSVR310"
     evaluator = R1mAPEvaluator(num_query, feat_norm=cfg.TEST.FEAT_NORM == "yes",
@@ -306,7 +380,7 @@ def do_train(
             needs_rng = device_augment or (spec.backbone == "imagenet"
                                            and spec.drop_path > 0)
             for n_iter, batch in enumerate(train_loader):
-                db = _device_batch(batch, mesh)
+                db = _device_batch(batch, mesh, accum)
                 step_rng = (jax.random.fold_in(key, epoch * 100000 + n_iter)
                             if needs_rng else None)
                 (state.params, state.bn_state, state.opt_state, loss, acc,

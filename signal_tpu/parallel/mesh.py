@@ -120,8 +120,12 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     """Place a batch on the mesh, batch dim over 'data'.
+
+    ``batch_axis``: which dim is the batch (1 under gradient
+    accumulation, where dim 0 is the sequential microbatch axis and
+    must stay replicated).
 
     Single-host: a plain device_put with the NamedSharding. Multi-host:
     each process holds only ITS loader shard, so the local array must be
@@ -129,11 +133,11 @@ def shard_batch(batch, mesh: Mesh):
     ``jax.make_array_from_process_local_data`` — device_put'ing the local
     shard with a global sharding would silently treat it as the whole
     global batch."""
-    sh = batch_sharding(mesh)
+    sh = NamedSharding(mesh, P(*([None] * batch_axis), "data"))
     multihost = jax.process_count() > 1
 
     def put(x):
-        if not (hasattr(x, "ndim") and x.ndim >= 1):
+        if not (hasattr(x, "ndim") and x.ndim >= batch_axis + 1):
             return x
         if multihost:
             import numpy as _np
