@@ -184,3 +184,122 @@ def load_reference_signal_checkpoint(params: Dict[str, Any], bn_state: Dict[str,
             d["off_out"] = {
                 "kernel": jnp.transpose(jnp.asarray(sd[f"{pre}.conv_offset.4.weight"]), (2, 3, 1, 0))}
     return p, bn
+
+
+# --------------------------------------------------------------------------
+# Full signal_tpu param tree → reference Signal .pth (torch interop export)
+# --------------------------------------------------------------------------
+
+
+def export_reference_signal_state_dict(params: Dict[str, Any],
+                                       bn_state: Dict[str, Any],
+                                       spec) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`load_reference_signal_checkpoint`: a TPU-trained
+    param tree → a state dict keyed per the reference's ``Signal`` module
+    (`modeling/make_model.py` in maxingan2412/Signal), so the checkpoint
+    drops into the reference's `load_param` / torch-ecosystem tooling.
+
+    The positional embedding exports at the trained ReID grid — exactly
+    what a torch ``Signal`` built for the same config stores. Only the
+    CLIP-tower Signal path has a reference naming; LoRA/adapter/prompt
+    factor weights and the other backbone families have none and are
+    rejected rather than silently dropped."""
+    if getattr(spec, "backbone", "clip") != "clip":
+        raise NotImplementedError(
+            f"torch export is defined for the CLIP-tower Signal model; "
+            f"backbone {spec.backbone!r} has no reference state-dict naming")
+    base_blocks = params.get("base", {}).get("blocks", {})
+    if spec.adapter or spec.prompt or spec.frozen or "adapter" in base_blocks:
+        raise NotImplementedError(
+            "torch export with LoRA/adapter/prompt branches has no "
+            "reference state-dict naming — export the base model")
+
+    out: Dict[str, np.ndarray] = {}
+    a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731
+
+    base = params["base"]
+    pre = "clip_vision_encoder.base."
+    out[pre + "conv1.weight"] = a(base["conv1"]["kernel"]).transpose(3, 2, 0, 1)
+    out[pre + "class_embedding"] = a(base["class_embedding"])
+    out[pre + "positional_embedding"] = a(base["positional_embedding"])
+    for ln in ("ln_pre", "ln_post"):
+        out[pre + f"{ln}.weight"] = a(base[ln]["scale"])
+        out[pre + f"{ln}.bias"] = a(base[ln]["bias"])
+    out[pre + "proj"] = a(base["proj"])
+    blocks = base["blocks"]
+    n_layers = int(np.asarray(blocks["ln_1"]["scale"]).shape[0])
+    for i in range(n_layers):
+        b = pre + f"transformer.resblocks.{i}."
+        out[b + "ln_1.weight"] = a(blocks["ln_1"]["scale"][i])
+        out[b + "ln_1.bias"] = a(blocks["ln_1"]["bias"][i])
+        out[b + "attn.in_proj_weight"] = a(blocks["attn"]["qkv_kernel"][i]).T
+        out[b + "attn.in_proj_bias"] = a(blocks["attn"]["qkv_bias"][i])
+        out[b + "attn.out_proj.weight"] = a(blocks["attn"]["out_kernel"][i]).T
+        out[b + "attn.out_proj.bias"] = a(blocks["attn"]["out_bias"][i])
+        out[b + "ln_2.weight"] = a(blocks["ln_2"]["scale"][i])
+        out[b + "ln_2.bias"] = a(blocks["ln_2"]["bias"][i])
+        out[b + "mlp.c_fc.weight"] = a(blocks["mlp"]["fc_kernel"][i]).T
+        out[b + "mlp.c_fc.bias"] = a(blocks["mlp"]["fc_bias"][i])
+        out[b + "mlp.c_proj.weight"] = a(blocks["mlp"]["proj_kernel"][i]).T
+        out[b + "mlp.c_proj.bias"] = a(blocks["mlp"]["proj_bias"][i])
+
+    if "cv_embed" in params:
+        out["clip_vision_encoder.cv_embed"] = a(params["cv_embed"])[:, None, :]
+
+    for name in ("bottleneck", "bottleneck_r", "bottleneck_n",
+                 "bottleneck_t", "bottleneck_var"):
+        if name in params:
+            out[f"{name}.weight"] = a(params[name]["scale"])
+            out[f"{name}.bias"] = a(params[name]["bias"])
+            out[f"{name}.running_mean"] = a(bn_state[name]["mean"])
+            out[f"{name}.running_var"] = a(bn_state[name]["var"])
+    for name in ("classifier", "classifier_r", "classifier_n",
+                 "classifier_t", "classifier_var"):
+        if name in params:
+            out[f"{name}.weight"] = a(params[name]["kernel"]).T
+
+    if "SIM" in params:
+        sel = params["SIM"]["select"]
+        for w in ("W_q", "W_k", "W_v"):
+            out[f"SIM.token_selection.{w}.weight"] = a(sel[w]["kernel"]).T
+            out[f"SIM.token_selection.{w}.bias"] = a(sel[w]["bias"])
+        inter = params["SIM"]["interact"]
+        mi = "SIM.modal_interactive"
+        ca = inter["cross_attn"]
+        out[f"{mi}.cross_attn.in_proj_weight"] = a(ca["qkv_kernel"]).T
+        out[f"{mi}.cross_attn.in_proj_bias"] = a(ca["qkv_bias"])
+        out[f"{mi}.cross_attn.out_proj.weight"] = a(ca["out_kernel"]).T
+        out[f"{mi}.cross_attn.out_proj.bias"] = a(ca["out_bias"])
+        out[f"{mi}.ffn.0.weight"] = a(inter["ffn"]["fc1"]["kernel"]).T
+        out[f"{mi}.ffn.0.bias"] = a(inter["ffn"]["fc1"]["bias"])
+        out[f"{mi}.ffn.2.weight"] = a(inter["ffn"]["fc2"]["kernel"]).T
+        out[f"{mi}.ffn.2.bias"] = a(inter["ffn"]["fc2"]["bias"])
+        for i in (1, 2):
+            out[f"{mi}.norm{i}.weight"] = a(inter[f"norm{i}"]["scale"])
+            out[f"{mi}.norm{i}.bias"] = a(inter[f"norm{i}"]["bias"])
+
+    if "AlignM" in params:
+        al = params["AlignM"]
+        out["AlignM.contra_temp"] = a(al["contra_temp"])
+        for mod in ("DAS_r", "DAS_n", "DAS_t"):
+            d = al[mod]
+            pfx = f"AlignM.{mod}"
+            out[f"{pfx}.proj_q.weight"] = a(d["proj_q"]["kernel"]).transpose(3, 2, 0, 1)
+            out[f"{pfx}.proj_q.bias"] = a(d["proj_q"]["bias"])
+            out[f"{pfx}.conv_offset.0.weight"] = a(d["off_conv1"]["kernel"]).transpose(3, 2, 0, 1)
+            out[f"{pfx}.conv_offset.0.bias"] = a(d["off_conv1"]["bias"])
+            out[f"{pfx}.conv_offset.2.weight"] = a(d["off_dw"]["kernel"]).transpose(3, 2, 0, 1)
+            out[f"{pfx}.conv_offset.2.bias"] = a(d["off_dw"]["bias"])
+            out[f"{pfx}.conv_offset.4.weight"] = a(d["off_out"]["kernel"]).transpose(3, 2, 0, 1)
+    return out
+
+
+def save_reference_signal_checkpoint(params: Dict[str, Any],
+                                     bn_state: Dict[str, Any],
+                                     spec, path: str) -> None:
+    """torch.save the exported state dict (keys per the reference model)."""
+    import torch
+
+    sd = export_reference_signal_state_dict(params, bn_state, spec)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)

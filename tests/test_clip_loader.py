@@ -159,3 +159,54 @@ def test_load_reference_signal_checkpoint(tmp_path):
                            jnp.float32) for m in ("RGB", "NI", "TI")}
     feat = forward_eval(p2, bn2, imgs, jnp.asarray([0, 1]), spec)
     assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_resize_pos_embed_trained_grid_passes_through():
+    """A TRAINED Signal .pth stores the pos embed at the (non-square)
+    ReID grid — it must import verbatim, not through the square-source
+    resize (which crashed on 128 = 16x8 grid tokens)."""
+    from signal_tpu.models.vit import resize_pos_embed
+
+    pos = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1 + 16 * 8, 96)).astype(np.float32))
+    out = resize_pos_embed(pos, 16, 8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(pos))
+    with pytest.raises(ValueError, match="grid tokens"):
+        resize_pos_embed(pos, 4, 2)  # 128 source: not square, not target
+
+
+def _tree_paths_equal(a, b):
+    la = jax.tree_util.tree_flatten_with_path(a)
+    lb = jax.tree_util.tree_flatten_with_path(b)
+    assert [k for k, _ in la[0]] == [k for k, _ in lb[0]]
+    for (ka, va), (_, vb) in zip(la[0], lb[0]):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=0, atol=0, err_msg=str(ka))
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """export_reference_signal_state_dict is the exact inverse of
+    load_reference_signal_checkpoint: params → .pth → params is the
+    identity (incl. the non-square trained pos-embed grid)."""
+    from signal_tpu.models.clip_loader import save_reference_signal_checkpoint
+
+    spec = _tiny_spec()
+    params, bn = init_signal_params(jax.random.PRNGKey(4), spec)
+    path = str(tmp_path / "exported.pth")
+    save_reference_signal_checkpoint(params, bn, spec, path)
+
+    p2, bn2 = load_reference_signal_checkpoint(params, bn, path, spec)
+    _tree_paths_equal(p2, params)
+    _tree_paths_equal(bn2, bn)
+
+
+def test_torch_export_rejects_unrepresentable_branches():
+    import dataclasses as dc
+
+    from signal_tpu.models.clip_loader import export_reference_signal_state_dict
+
+    spec = _tiny_spec()
+    params, bn = init_signal_params(jax.random.PRNGKey(5), spec)
+    with pytest.raises(NotImplementedError, match="reference state-dict"):
+        export_reference_signal_state_dict(
+            params, bn, dc.replace(spec, frozen=True))
