@@ -6,15 +6,20 @@ import numpy as np
 
 
 def fake_clip_visual_sd(rng, width: int, layers: int, out: int,
-                        grid: int = 3):
-    """OpenAI-CLIP 'visual.*' tensors (pretrained grid×grid + CLS)."""
+                        grid: int = 3, grid_tokens: int | None = None):
+    """OpenAI-CLIP 'visual.*' tensors (pretrained grid×grid + CLS).
+
+    ``grid_tokens`` overrides the token count for TRAINED-checkpoint
+    shapes, where the pos embed is already at the (non-square) ReID
+    grid rather than CLIP's square pretrained one."""
     import torch
 
+    n_grid = grid_tokens if grid_tokens is not None else grid * grid
     t = lambda *s: torch.tensor(rng.standard_normal(s).astype(np.float32) * 0.02)  # noqa: E731
     sd = {
         "visual.conv1.weight": t(width, 3, 16, 16),
         "visual.class_embedding": t(width),
-        "visual.positional_embedding": t(1 + grid * grid, width),
+        "visual.positional_embedding": t(1 + n_grid, width),
         "visual.ln_pre.weight": t(width), "visual.ln_pre.bias": t(width),
         "visual.ln_post.weight": t(width), "visual.ln_post.bias": t(width),
         "visual.proj": t(width, out),
@@ -37,14 +42,22 @@ def fake_clip_visual_sd(rng, width: int, layers: int, out: int,
 
 
 def fake_signal_sd(rng, width: int, layers: int, out: int, cam_num: int,
-                   num_classes: int, with_align: bool = True):
-    """A full reference `Signal` state dict (direct head + SIM [+ AlignM])."""
+                   num_classes: int, with_align: bool = True,
+                   grid_hw: tuple | None = None):
+    """A full reference `Signal` state dict (direct head + SIM [+ AlignM]).
+
+    ``grid_hw=(h, w)``: store the pos embed at the trained ReID grid —
+    what a real released `Signal best.pth` contains (the reference
+    resizes CLIP's 14×14 at BUILD time, so its state dict carries the
+    non-square h×w grid)."""
     import torch
 
     t = lambda a: torch.tensor(np.asarray(a, np.float32))  # noqa: E731
     r = lambda *s: t(rng.standard_normal(s) * 0.02)        # noqa: E731
+    grid_tokens = grid_hw[0] * grid_hw[1] if grid_hw else None
     sd = {k.replace("visual.", "clip_vision_encoder.base."): v
-          for k, v in fake_clip_visual_sd(rng, width, layers, out).items()}
+          for k, v in fake_clip_visual_sd(
+              rng, width, layers, out, grid_tokens=grid_tokens).items()}
     sd["clip_vision_encoder.cv_embed"] = r(cam_num, 1, width)
     for name in ("bottleneck", "bottleneck_var"):
         dim = 3 * out

@@ -161,6 +161,28 @@ def test_load_reference_signal_checkpoint(tmp_path):
     assert np.isfinite(np.asarray(feat)).all()
 
 
+def test_torch_state_dict_reads_jit_archives(tmp_path):
+    """Real OpenAI ViT-B-16.pt files are torch.jit archives — the reader's
+    first branch; the fabricated-checkpoint tests only cover the plain
+    torch.save fallback."""
+    from signal_tpu.models.clip_loader import _torch_state_dict
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = torch.nn.Linear(4, 3)
+
+        def forward(self, x):
+            return self.lin(x)
+
+    path = str(tmp_path / "scripted.pt")
+    torch.jit.save(torch.jit.script(M()), path)
+    sd = _torch_state_dict(path)
+    assert isinstance(sd["lin.weight"], np.ndarray)
+    assert sd["lin.weight"].shape == (3, 4)
+    assert sd["lin.weight"].dtype == np.float32
+
+
 def test_resize_pos_embed_trained_grid_passes_through():
     """A TRAINED Signal .pth stores the pos embed at the (non-square)
     ReID grid — it must import verbatim, not through the square-source

@@ -40,7 +40,10 @@ def _make_rgbnt201(root):
 def test_parity_harness_end_to_end(tmp_path):
     root = _make_rgbnt201(str(tmp_path))
     rng = np.random.default_rng(1)
-    sd = fake_signal_sd(rng, WIDTH, LAYERS, OUT, cam_num=2, num_classes=3)
+    # grid_hw: a real trained .pth stores the non-square ReID pos-embed
+    # grid (here (64,32)/16 = 4x2) — regression cover for the import path
+    sd = fake_signal_sd(rng, WIDTH, LAYERS, OUT, cam_num=2, num_classes=3,
+                        grid_hw=(4, 2))
     weight = str(tmp_path / "Signalbest.pth")
     torch.save(sd, weight)
 
