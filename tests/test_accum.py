@@ -161,6 +161,30 @@ def test_accum_under_dp_mesh_matches_single_device():
                                    rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
+def test_accum_composes_with_tensor_parallelism():
+    """ACCUM_ITER=2 on a 4x2 ('data','model') mesh — microbatch scan over
+    TP-sharded ViT blocks — matches the single-device accum step."""
+    from signal_tpu.models.signal_model import init_signal_params
+    from signal_tpu.parallel.mesh import create_mesh, shard_params
+
+    cfg, spec = _tiny(num_classes=8)
+    cfg.SOLVER.ACCUM_ITER = 2
+    cfg.PARALLEL.MODEL_AXIS = 2
+    params, bn = init_signal_params(jax.random.PRNGKey(3), spec)
+    full = _dup(_half_batch(spec.num_classes, seed=3))
+
+    p_ref, loss_ref, acc_ref, _ = _run_step(cfg, spec, params, bn, full)
+
+    mesh = create_mesh(num_data=4, num_model=2)
+    with mesh:
+        ptp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        p_tp, loss_tp, acc_tp, _ = _run_step(cfg, spec, ptp, bn, full,
+                                             mesh=mesh)
+    np.testing.assert_allclose(loss_tp, loss_ref, rtol=1e-4)
+    np.testing.assert_allclose(acc_tp, acc_ref, rtol=1e-6)
+
+
 def test_accum_rejects_indivisible_batch():
     from signal_tpu.engine.train import _device_batch
 
