@@ -53,6 +53,10 @@ def main():
                                                (B,), 0, num_classes)),
         "camids": jnp.zeros((B,), jnp.int32),
     }
+    if cfg.SOLVER.ACCUM_ITER > 1:  # step expects [A, B/A, ...] microbatches
+        from signal_tpu.engine.train import _device_batch
+
+        batch = _device_batch(batch, None, cfg.SOLVER.ACCUM_ITER)
     lr_a, lr_b = schedule_coeffs(cfg, 1)
     la, lb = jnp.float32(lr_a), jnp.float32(lr_b)
 

@@ -158,6 +158,13 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
                 cgsum = jax.tree.map(jnp.add, cgsum, cg)
                 return (new_bn, gsum, cgsum, lsum + loss, asum + acc), None
 
+            lead = next(iter(batch["imgs"].values())).shape[0]
+            if lead != accum:
+                raise ValueError(
+                    f"SOLVER.ACCUM_ITER={accum} expects a microbatched "
+                    f"[{accum}, B/{accum}, ...] batch but got leading dim "
+                    f"{lead} — build batches with "
+                    f"engine.train._device_batch(batch, mesh, accum)")
             init = (bn_state,
                     jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32),
                                  params),
@@ -285,12 +292,15 @@ def do_train(
                                  device_augment=device_augment, mesh=mesh)
     accum = max(1, int(getattr(cfg.SOLVER, "ACCUM_ITER", 1)))
     k_inst = max(1, int(cfg.DATALOADER.NUM_INSTANCE))
-    if accum > 1 and (cfg.SOLVER.IMS_PER_BATCH // accum) % k_inst:
+    # each host reshapes its LOCAL contiguous PK slice into microbatches,
+    # so group integrity is decided by the per-host microbatch size
+    local_b = cfg.SOLVER.IMS_PER_BATCH // max(1, jax.process_count())
+    if accum > 1 and (local_b // accum) % k_inst:
         logger.warning(
-            "ACCUM_ITER=%d gives microbatches of %d — not a multiple of "
-            "NUM_INSTANCE=%d, so P×K identity groups split across "
-            "microbatches and triplet mining weakens", accum,
-            cfg.SOLVER.IMS_PER_BATCH // accum, k_inst)
+            "ACCUM_ITER=%d gives per-host microbatches of %d — not a "
+            "multiple of NUM_INSTANCE=%d, so P×K identity groups split "
+            "across microbatches and triplet mining weakens", accum,
+            local_b // accum, k_inst)
 
     scene_aware = cfg.DATASETS.NAMES == "MSVR310"
     evaluator = R1mAPEvaluator(num_query, feat_norm=cfg.TEST.FEAT_NORM == "yes",

@@ -35,11 +35,25 @@ def _torch_state_dict(path: str) -> Dict[str, Any]:
 
 
 def clip_visual_to_vit_params(sd: Dict[str, np.ndarray], h: int, w: int,
-                              layers: int = 12) -> Dict[str, Any]:
-    """CLIP 'visual.*' torch tensors → our stacked-block ViT pytree."""
+                              layers: int = 12,
+                              pos_verbatim: bool = False) -> Dict[str, Any]:
+    """CLIP 'visual.*' torch tensors → our stacked-block ViT pytree.
+
+    ``pos_verbatim``: the source is a TRAINED checkpoint whose pos embed
+    is already at the (possibly non-square) h×w ReID grid — import it
+    unchanged, as the reference's `load_param` does, instead of resizing
+    from a square pretrained grid. A count mismatch is a config error."""
     g = lambda k: jnp.asarray(sd[f"visual.{k}"])  # noqa: E731
 
-    pos = resize_pos_embed(g("positional_embedding"), h, w)
+    if pos_verbatim:
+        pos = g("positional_embedding")
+        if pos.shape[0] != 1 + h * w:
+            raise ValueError(
+                f"trained checkpoint pos embed has {pos.shape[0] - 1} grid "
+                f"tokens but the config's grid is {h}x{w} = {h * w} — "
+                f"checkpoint/config image-size or stride mismatch")
+    else:
+        pos = resize_pos_embed(g("positional_embedding"), h, w)
 
     def stack(fmt, transpose=None):
         arrs = []
@@ -115,7 +129,11 @@ def load_reference_signal_checkpoint(params: Dict[str, Any], bn_state: Dict[str,
     base_sd = {k.replace("clip_vision_encoder.base.", "visual."): v
                for k, v in sd.items() if k.startswith("clip_vision_encoder.base.")}
     if base_sd:
-        p["base"] = clip_visual_to_vit_params(base_sd, spec.h, spec.w, spec.layers)
+        # trained checkpoints store the pos embed at the (non-square) ReID
+        # grid — the reference resized CLIP's 14x14 at BUILD time and
+        # load_param copies verbatim; pos_verbatim reproduces that
+        p["base"] = clip_visual_to_vit_params(base_sd, spec.h, spec.w,
+                                              spec.layers, pos_verbatim=True)
     if "clip_vision_encoder.cv_embed" in sd:
         p["cv_embed"] = jnp.asarray(sd["clip_vision_encoder.cv_embed"]).squeeze(1)
 

@@ -317,20 +317,21 @@ def resize_pos_embed(posemb: jnp.ndarray, h_new: int, w_new: int) -> jnp.ndarray
     (align_corners=False, no antialias — width DOWNSAMPLES 14→8 for ReID
     aspect ratios, where antialiased resizers diverge).
 
-    A grid already at h_new×w_new passes through untouched — a TRAINED
-    Signal .pth stores the (non-square) ReID grid, which the reference's
-    `load_param` copies verbatim; only pretrained CLIP archives carry the
-    square 14×14 grid that needs resizing.
+    SQUARE SOURCES ONLY (pretrained CLIP/timm grids are 14×14): a flat
+    [L, width] tensor carries no layout, so a non-square source cannot be
+    resized safely — and a token COUNT match would be ambiguous (196 is
+    both 14×14 and 28×7). A TRAINED checkpoint's (possibly non-square)
+    grid must be imported verbatim by the caller that knows its layout
+    (`clip_loader.clip_visual_to_vit_params(pos_verbatim=True)`).
     """
     tok, grid = posemb[:1], posemb[1:]
-    if grid.shape[0] == h_new * w_new:
-        return posemb
     gs_old = int(math.sqrt(grid.shape[0]))
     if gs_old * gs_old != grid.shape[0]:
         raise ValueError(
-            f"pos embed has {grid.shape[0]} grid tokens: neither the target "
-            f"{h_new}x{w_new} nor a square source grid — checkpoint/config "
-            f"image-size mismatch?")
+            f"pos embed has {grid.shape[0]} grid tokens — not a square "
+            f"pretrained grid; a trained checkpoint's grid must be imported "
+            f"verbatim at its own layout, not resized (checkpoint/config "
+            f"image-size mismatch?)")
     width = grid.shape[-1]
     grid = grid.reshape(gs_old, gs_old, width).astype(jnp.float32)
     grid = _bilinear_resize_no_aa(grid, h_new, w_new)

@@ -66,9 +66,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over 'data'."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch dim over 'data' (axes before it replicate)."""
+    return NamedSharding(mesh, P(*([None] * batch_axis), "data"))
 
 
 def _spec_for(path: str, leaf) -> P:
@@ -133,7 +133,7 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     ``jax.make_array_from_process_local_data`` — device_put'ing the local
     shard with a global sharding would silently treat it as the whole
     global batch."""
-    sh = NamedSharding(mesh, P(*([None] * batch_axis), "data"))
+    sh = batch_sharding(mesh, batch_axis)
     multihost = jax.process_count() > 1
 
     def put(x):

@@ -183,6 +183,12 @@ def test_accum_composes_with_tensor_parallelism():
                                              mesh=mesh)
     np.testing.assert_allclose(loss_tp, loss_ref, rtol=1e-4)
     np.testing.assert_allclose(acc_tp, acc_ref, rtol=1e-6)
+    # params too — loss/acc are forward-only, a backward bug under the
+    # sharded scan (e.g. a bad reduction on row-parallel grad shards)
+    # would not show in them
+    for a, b in zip(jax.tree.leaves(p_tp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
 
 
 def test_accum_rejects_indivisible_batch():

@@ -107,6 +107,9 @@ def test_load_reference_signal_checkpoint(tmp_path):
     sd = dict(_fake_clip_visual_sd(rng))
     sd = {k.replace("visual.", "clip_vision_encoder.base."): v
           for k, v in sd.items()}
+    # a trained .pth stores the (non-square) ReID grid, imported verbatim
+    sd["clip_vision_encoder.base.positional_embedding"] = torch.tensor(
+        rng.standard_normal((1 + H * W, WIDTH)).astype(np.float32))
     sd["clip_vision_encoder.cv_embed"] = torch.tensor(
         rng.standard_normal((2, 1, WIDTH)).astype(np.float32))
     # BNNeck + classifier (direct path) and SIM head
@@ -183,18 +186,28 @@ def test_torch_state_dict_reads_jit_archives(tmp_path):
     assert sd["lin.weight"].dtype == np.float32
 
 
-def test_resize_pos_embed_trained_grid_passes_through():
+def test_trained_grid_pos_embed_imports_verbatim():
     """A TRAINED Signal .pth stores the pos embed at the (non-square)
-    ReID grid — it must import verbatim, not through the square-source
-    resize (which crashed on 128 = 16x8 grid tokens)."""
+    ReID grid — pos_verbatim imports it untouched (the reference's
+    load_param semantics); resize_pos_embed itself now refuses non-square
+    sources (it previously crashed in reshape on 128 = 16x8 tokens, and a
+    token-COUNT pass-through would be layout-ambiguous: 196 is both 14x14
+    and 28x7)."""
+    from signal_tpu.models.clip_loader import clip_visual_to_vit_params
     from signal_tpu.models.vit import resize_pos_embed
 
-    pos = jnp.asarray(np.random.default_rng(3).standard_normal(
-        (1 + 16 * 8, 96)).astype(np.float32))
-    out = resize_pos_embed(pos, 16, 8)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(pos))
-    with pytest.raises(ValueError, match="grid tokens"):
-        resize_pos_embed(pos, 4, 2)  # 128 source: not square, not target
+    rng = np.random.default_rng(3)
+    sd = {k: v.numpy() for k, v in _fake_clip_visual_sd(rng).items()}
+    pos = rng.standard_normal((1 + 16 * 8, WIDTH)).astype(np.float32)
+    sd["visual.positional_embedding"] = pos
+
+    base = clip_visual_to_vit_params(sd, 16, 8, LAYERS, pos_verbatim=True)
+    np.testing.assert_array_equal(np.asarray(base["positional_embedding"]), pos)
+
+    with pytest.raises(ValueError, match="not a square"):
+        resize_pos_embed(jnp.asarray(pos), 16, 8)  # 128 tokens: non-square
+    with pytest.raises(ValueError, match="mismatch"):
+        clip_visual_to_vit_params(sd, 4, 2, LAYERS, pos_verbatim=True)
 
 
 def _tree_paths_equal(a, b):
