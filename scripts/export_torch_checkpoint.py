@@ -30,10 +30,12 @@ def main():
                     help="classifier size (skip the dataset scan)")
     ap.add_argument("--camera_num", type=int, default=None)
     ap.add_argument("--view_num", type=int, default=1)
+    ap.add_argument("--shrink", default="", help="ModelSpec overrides "
+                    "k=v,... (CI smoke only)")
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
 
-    from signal_tpu.cli import build_model_for_test
+    from signal_tpu.cli import build_model_for_test, parse_spec_overrides
     from signal_tpu.config import load_config
     from signal_tpu.models.clip_loader import save_reference_signal_checkpoint
 
@@ -42,7 +44,8 @@ def main():
         ap.error("pass the checkpoint to export as `TEST.WEIGHT <path>`")
     spec, params, bn_state = build_model_for_test(
         cfg, num_classes=args.num_classes, camera_num=args.camera_num,
-        view_num=args.view_num)
+        view_num=args.view_num,
+        spec_overrides=parse_spec_overrides(args.shrink))
     save_reference_signal_checkpoint(params, bn_state, spec, args.out)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB, "
           f"reference Signal state-dict format)")

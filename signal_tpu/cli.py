@@ -79,12 +79,36 @@ def train_main(argv=None):
              mesh=mesh, resume_from=args.resume or None)
 
 
+def parse_spec_overrides(s: str) -> dict:
+    """'k=v,...' → ModelSpec override dict (ints/floats/bools coerced) —
+    the CLI-facing form of dataclasses.replace, used by the export
+    scripts' --shrink flag (CI smoke tests run tiny specs)."""
+    def coerce(v: str):
+        if v in ("True", "False"):
+            return v == "True"
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    out = {}
+    for kv in filter(None, s.split(",")):
+        k, _, v = kv.partition("=")
+        out[k.strip()] = coerce(v.strip())
+    return out
+
+
 def build_model_for_test(cfg, num_classes: int | None = None,
-                         camera_num: int | None = None, view_num: int = 1):
+                         camera_num: int | None = None, view_num: int = 1,
+                         spec_overrides: dict | None = None):
     """(spec, params, bn_state) with TEST.WEIGHT loaded — the model-build
     half of ``test_main``, also used by scripts/export_serving.py. When
     ``num_classes`` is None the dataset is scanned for the counts (the
-    classifier head shapes must match the checkpoint)."""
+    classifier head shapes must match the checkpoint).
+    ``spec_overrides``: ModelSpec field overrides applied before init
+    (see ``parse_spec_overrides``)."""
     import jax
 
     if num_classes is None:
@@ -105,6 +129,10 @@ def build_model_for_test(cfg, num_classes: int | None = None,
 
     spec = ModelSpec.from_config(
         cfg, num_classes, camera_num if camera_num is not None else 1, view_num)
+    if spec_overrides:
+        import dataclasses
+
+        spec = dataclasses.replace(spec, **spec_overrides)
     params, bn_state = init_signal_params(
         jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
 

@@ -5,6 +5,7 @@ the OpenAI CLIP ViT archive (`load_clip_into_params`) and a trained
 reference Signal .pth (`load_reference_signal_checkpoint`)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -235,7 +236,44 @@ def test_torch_export_roundtrip(tmp_path):
     _tree_paths_equal(bn2, bn)
 
 
-def test_torch_export_rejects_unrepresentable_branches():
+def test_export_torch_checkpoint_cli(tmp_path, monkeypatch):
+    """scripts/export_torch_checkpoint.py end-to-end: orbax checkpoint in,
+    reference-format .pth out, reimportable."""
+    import sys
+
+    from signal_tpu.utils.checkpoint import save_checkpoint
+
+    spec = _tiny_spec()
+    params, bn = init_signal_params(jax.random.PRNGKey(6), spec)
+    ckpt = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(ckpt, {"params": params, "bn_state": bn})
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import export_torch_checkpoint
+
+    out = str(tmp_path / "exported.pth")
+    monkeypatch.setattr(sys, "argv", [
+        "export_torch_checkpoint.py", "--config_file",
+        "configs/synthetic/smoke.yml", "-o", out,
+        "--num_classes", str(spec.num_classes),
+        "--camera_num", str(spec.camera_num),
+        # shrink + opts rebuild exactly _tiny_spec so shapes match the ckpt
+        "--shrink", f"layers={LAYERS},width={WIDTH},feat_dim={OUT},"
+                    "num_heads=4,use_flash=False,compute_dtype=float32",
+        "TEST.WEIGHT", ckpt,
+        "INPUT.SIZE_TRAIN", "(64, 32)", "INPUT.SIZE_TEST", "(64, 32)",
+        "MODEL.USE_A", "True", "MODEL.USE_B", "True",
+        "MODEL.stageName", "together_CLS_Patch", "MODEL.TOPK", "3",
+    ])
+    try:
+        export_torch_checkpoint.main()
+    except SystemExit as e:  # argparse exits 0 on success paths only
+        assert not e.code
+    assert os.path.exists(out)
+
+    sd = torch.load(out, map_location="cpu", weights_only=True)
+    assert "clip_vision_encoder.base.positional_embedding" in sd
     import dataclasses as dc
 
     from signal_tpu.models.clip_loader import export_reference_signal_state_dict
