@@ -44,7 +44,7 @@ def _arm_watchdog(deadline_s: float | None = None):
 
     def _fire():
         if not done.wait(deadline_s):
-            print(json.dumps({
+            line = {
                 "metric": "3modal_eval_imgs_per_s_per_chip",
                 "value": 0.0,
                 "unit": "samples/s",
@@ -52,7 +52,24 @@ def _arm_watchdog(deadline_s: float | None = None):
                 "error": f"bench did not complete within {deadline_s:.0f}s"
                          " — TPU backend unreachable or a compile RPC hung"
                          " (tunnel down?)",
-            }), flush=True)
+            }
+            # point the reader at the last recorded healthy run so an
+            # environment outage isn't misread as a perf regression
+            for prev in ("BENCH_r02.json", "BENCH_r01.json"):
+                p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 prev)
+                if os.path.exists(p):
+                    try:
+                        with open(p) as f:
+                            rec = json.load(f)
+                        # driver wrapper files carry the result under
+                        # 'parsed'; bare result lines pass through
+                        line["last_recorded"] = {
+                            "file": prev, **rec.get("parsed", rec)}
+                    except Exception:
+                        pass
+                    break
+            print(json.dumps(line), flush=True)
             os._exit(3)
 
     threading.Thread(target=_fire, daemon=True).start()

@@ -62,18 +62,9 @@ def main(argv=None) -> int:
 
     spec = ModelSpec.from_config(cfg, num_classes, camera_num, view_num)
     if args.shrink:
-        def coerce(v):
-            if v in ("True", "False"):
-                return v == "True"
-            for cast in (int, float):
-                try:
-                    return cast(v)
-                except ValueError:
-                    pass
-            return v
+        from signal_tpu.cli import parse_spec_overrides
 
-        over = dict(kv.split("=") for kv in args.shrink.split(","))
-        spec = dataclasses.replace(spec, **{k: coerce(v) for k, v in over.items()})
+        spec = dataclasses.replace(spec, **parse_spec_overrides(args.shrink))
 
     params, bn_state = init_signal_params(jax.random.PRNGKey(cfg.SOLVER.SEED), spec)
     params, bn_state = load_reference_signal_checkpoint(
