@@ -61,6 +61,22 @@ def test_do_train_epoch_and_checkpoint(tmp_path):
     assert any("Signal" in e for e in entries)  # periodic + best ckpts
 
 
+def test_do_train_vehicle_heads(tmp_path):
+    """DIRECT=0 (RGBNT100/MSVR310 convention): per-modality BNNeck +
+    classifier heads through a real train epoch + eval — the person-path
+    tests all run DIRECT=1."""
+    cfg = _tiny_cfg(tmp_path, DIRECT=0)
+    cfg.SOLVER.ACCUM_ITER = 2  # and the microbatch scan over those heads
+    (train_loader, _, val_loader, num_query, num_classes, cam_num,
+     _) = make_dataloader(cfg)
+    spec = _tiny_spec(cfg, num_classes, cam_num)
+    assert not spec.direct
+    state = do_train(cfg, spec, train_loader, val_loader, num_query,
+                     num_classes, max_steps_per_epoch=2)
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_do_train_resume(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     cfg.SOLVER.EVAL_PERIOD = 5  # skip eval for speed
