@@ -129,3 +129,34 @@ def load_exported(path: str):
         return exported.call(imgs, camids)
 
     return call, manifest
+
+
+def export_bridged(bridged, *, platforms: Optional[Sequence[str]] = None
+                   ) -> jexport.Exported:
+    """Export a torch→JAX ``BridgedModule`` (``signal_tpu.torch_bridge``)
+    as a self-contained artifact: the torch module's weights bake in as
+    constants, so serving needs neither torch nor the original model
+    definition. The bridge trace is shape-specialized, so the artifact
+    serves exactly the traced input shapes (rebuild the bridge for other
+    shapes)."""
+    if not getattr(bridged, "input_specs", None):
+        raise ValueError("bridged module carries no input_specs — rebuild "
+                         "it with a current signal_tpu.torch_bridge")
+
+    def fn(*inputs):
+        return bridged.fn(bridged.params, *inputs)
+
+    in_specs = [jax.ShapeDtypeStruct(shape, dtype)
+                for shape, dtype in bridged.input_specs]
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    return jexport.export(jax.jit(fn), **kwargs)(*in_specs)
+
+
+def load_exported_bridged(path: str):
+    """Load an ``export_bridged`` artifact → (callable, manifest); the
+    callable takes the positional inputs of the original torch forward."""
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    return (lambda *inputs: exported.call(*inputs)), manifest

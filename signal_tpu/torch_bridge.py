@@ -564,6 +564,8 @@ class BridgedModule:
     params: Dict[str, jnp.ndarray]
     float_keys: Tuple[str, ...]
     n_inputs: int
+    # the trace is shape-specialized; these are the only valid shapes
+    input_specs: Tuple[Tuple[Tuple[int, ...], Any], ...] = ()
 
     def __call__(self, *inputs):
         return self.fn(self.params, *inputs)
@@ -683,8 +685,10 @@ def lower_torch_module(model, example_inputs: Sequence,
             return result[0]
         return result
 
+    specs = tuple((tuple(t.shape), _torch_dtype_to_jnp(t.dtype))
+                  for t in example_inputs)
     return BridgedModule(fn=fn, params=params, float_keys=float_keys,
-                         n_inputs=len(example_inputs))
+                         n_inputs=len(example_inputs), input_specs=specs)
 
 
 @dataclass

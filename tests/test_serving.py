@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from signal_tpu import serving
 from signal_tpu.config import Config
@@ -155,3 +156,43 @@ def test_multiplatform_export_and_mesh_serving(tmp_path):
     single = np.asarray(call(imgs_np, np.zeros((B,), np.int32)))
     assert served.shape == (B, 384)
     np.testing.assert_allclose(served, single, atol=5e-2)
+
+
+def test_bridged_export_round_trip(tmp_path):
+    """torch CNN → bridge → StableHLO artifact → load → same outputs
+    (weights baked in; torch absent at serve time)."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    import torch.nn as nn
+
+    from signal_tpu.serving import (export_bridged, load_exported_bridged,
+                                    save_exported)
+    from signal_tpu.torch_bridge import lower_torch_module
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.bn = nn.BatchNorm2d(8)
+            self.fc = nn.Linear(8, 5)
+
+        def forward(self, x):
+            return self.fc(torch.relu(self.bn(self.conv(x))).mean((2, 3)))
+
+    torch.manual_seed(0)
+    bm = lower_torch_module(Net().eval(), (torch.randn(4, 3, 32, 32),))
+    ex = export_bridged(bm)
+    path = save_exported(ex, str(tmp_path / "bridged"),
+                         extra_manifest={"bridge": True})
+    call, manifest = load_exported_bridged(path)
+    assert manifest["bridge"] is True
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((4, 3, 32, 32)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(call(x)), np.asarray(bm(x)),
+                               rtol=1e-5, atol=1e-6)
+
+    # shape-specialized: wrong batch must be rejected by the artifact
+    bad = jnp.zeros((2, 3, 32, 32), jnp.float32)
+    with pytest.raises(Exception):
+        call(bad)
