@@ -151,13 +151,9 @@ def _convolution(ctx, x, w, b, stride, padding, dilation, transposed,
 
 
 @_register("aten.native_batch_norm.default",
-           "aten._native_batch_norm_legit.default",
-           "aten._native_batch_norm_legit_no_training.default")
+           "aten._native_batch_norm_legit.default")
 def _batch_norm(ctx, x, weight, bias, running_mean, running_var,
                 training=False, momentum=0.1, eps=1e-5):
-    # the no_training overload omits the `training` positional
-    if isinstance(training, float) and momentum == 1e-5:
-        training, momentum, eps = False, 0.1, training  # schema shift
     x32 = x.astype(jnp.float32)
     if training or running_mean is None:
         axes = (0,) + tuple(range(2, x.ndim))
@@ -173,6 +169,14 @@ def _batch_norm(ctx, x, weight, bias, running_mean, running_var,
     if bias is not None:
         out = out + bias.reshape(shape)
     return (out, mean, inv)
+
+
+@_register("aten._native_batch_norm_legit_no_training.default")
+def _batch_norm_no_training(ctx, x, weight, bias, running_mean, running_var,
+                            momentum=0.1, eps=1e-5):
+    # this overload's schema omits the `training` positional entirely
+    return _batch_norm(ctx, x, weight, bias, running_mean, running_var,
+                       training=False, momentum=momentum, eps=eps)
 
 
 @_register("aten._native_batch_norm_legit_functional.default")
@@ -350,7 +354,20 @@ def _split(ctx, x, split_size, dim=0):
 
 @_register("aten.chunk.default")
 def _chunk(ctx, x, chunks, dim=0):
-    return tuple(jnp.array_split(x, chunks, axis=dim))
+    # torch.chunk fills each chunk to ceil(n/chunks) (last may be short);
+    # NOT numpy array_split, which spreads the remainder
+    return _split(ctx, x, -(-x.shape[dim] // chunks), dim)
+
+
+@_register("aten.split_with_sizes.default")
+def _split_with_sizes(ctx, x, sizes, dim=0):
+    outs, lo = [], 0
+    for s in sizes:
+        idx = [slice(None)] * x.ndim
+        idx[dim] = slice(lo, lo + int(s))
+        outs.append(x[tuple(idx)])
+        lo += int(s)
+    return tuple(outs)
 
 
 @_register("aten.mean.dim")
