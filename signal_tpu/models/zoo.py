@@ -28,6 +28,7 @@ from __future__ import annotations
 import importlib.util
 import os
 import sys
+import warnings
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
@@ -136,7 +137,13 @@ def load_zoo_module(zoo_dir: str, filename: str):
     spec = importlib.util.spec_from_file_location(mod_name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[mod_name] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        # never cache a half-executed module: a retry must re-raise the
+        # real import error, not AttributeError on the missing factory
+        sys.modules.pop(mod_name, None)
+        raise
     return mod
 
 
@@ -188,7 +195,22 @@ def build_zoo_backbone(name: str, zoo_dir: Optional[str] = None, *,
     model.eval()
     if state_dict is not None:
         sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
-        model.load_state_dict(sd, strict=False)
+        # strict=False tolerates head-shape mismatches (torchreid ckpts
+        # carry their own classifier) but must not silently load NOTHING
+        # (torch does not report BN num_batches_tracked as missing, so
+        # count the real key intersection, not len(missing_keys))
+        own = set(model.state_dict())
+        n_matched = len(own & set(sd))
+        if n_matched == 0:
+            raise ValueError(
+                f"state_dict matched 0 of {len(own)} keys for {name!r} "
+                f"(first ckpt keys: {list(sd)[:3]}) — wrong checkpoint "
+                "or an unstripped prefix")
+        result = model.load_state_dict(sd, strict=False)
+        if result.missing_keys:
+            warnings.warn(f"{name}: {len(result.missing_keys)} of "
+                          f"{len(own)} keys not in checkpoint "
+                          f"(e.g. {result.missing_keys[:3]})")
 
     hw = input_hw or entry.input_hw
     if entry.fixed_input and input_hw and tuple(input_hw) != entry.input_hw:

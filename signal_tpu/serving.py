@@ -139,6 +139,11 @@ def export_bridged(bridged, *, platforms: Optional[Sequence[str]] = None
     definition. The bridge trace is shape-specialized, so the artifact
     serves exactly the traced input shapes (rebuild the bridge for other
     shapes)."""
+    if type(bridged).__name__ == "BridgedTrainModule":
+        raise ValueError(
+            "train-mode bridges are not exportable: their step returns "
+            "(outputs, buffer_updates) and may need an rng — export an "
+            "eval-mode bridge (lower_torch_module on model.eval()) instead")
     if not getattr(bridged, "input_specs", None):
         raise ValueError("bridged module carries no input_specs — rebuild "
                          "it with a current signal_tpu.torch_bridge")

@@ -244,22 +244,22 @@ def _clamp_min(ctx, x, lo):
     return jnp.maximum(x, lo)
 
 
-@_register("aten.add.Tensor", "aten.add_.Tensor")
+@_register("aten.add.Tensor", "aten.add_.Tensor", "aten.add.Scalar")
 def _add(ctx, a, b, alpha=1):
     return a + (b * alpha if alpha != 1 else b)
 
 
-@_register("aten.sub.Tensor")
+@_register("aten.sub.Tensor", "aten.sub.Scalar", "aten.rsub.Scalar")
 def _sub(ctx, a, b, alpha=1):
     return a - (b * alpha if alpha != 1 else b)
 
 
-@_register("aten.mul.Tensor", "aten.mul_.Tensor")
+@_register("aten.mul.Tensor", "aten.mul_.Tensor", "aten.mul.Scalar")
 def _mul(ctx, a, b):
     return a * b
 
 
-@_register("aten.div.Tensor")
+@_register("aten.div.Tensor", "aten.div.Scalar")
 def _div(ctx, a, b):
     return a / b
 
@@ -304,9 +304,42 @@ def _view(ctx, x, sizes):
 
 @_register("aten.expand.default")
 def _expand(ctx, x, sizes):
-    sizes = [x.shape[i] if int(s) == -1 else int(s)
-             for i, s in enumerate(sizes)]
-    return jnp.broadcast_to(x, sizes)
+    # torch aligns -1 ("keep this dim") from the RIGHT: expand may add
+    # new leading dims, so size index i maps to x dim i - offset
+    off = len(sizes) - x.ndim
+    out = []
+    for i, s in enumerate(sizes):
+        s = int(s)
+        if s == -1:
+            if i < off:
+                raise ValueError("expand: -1 not allowed for a new dim")
+            s = x.shape[i - off]
+        out.append(s)
+    return jnp.broadcast_to(x, out)
+
+
+@_register("aten.unsqueeze.default")
+def _unsqueeze(ctx, x, dim):
+    return jnp.expand_dims(x, dim)
+
+
+@_register("aten.squeeze.default")
+def _squeeze(ctx, x):
+    return jnp.squeeze(x)
+
+
+@_register("aten.squeeze.dim", "aten.squeeze.dims")
+def _squeeze_dim(ctx, x, dim):
+    dims = tuple(dim) if isinstance(dim, (list, tuple)) else (dim,)
+    # torch silently keeps non-1 dims; jnp.squeeze would raise
+    dims = tuple(d for d in dims if x.shape[d] == 1)
+    return jnp.squeeze(x, dims) if dims else x
+
+
+@_register("aten.index.Tensor")
+def _index(ctx, x, indices):
+    # advanced indexing x[idx0, idx1, ...]; None = untouched dim
+    return x[tuple(slice(None) if i is None else i for i in indices)]
 
 
 @_register("aten.repeat.default")
@@ -385,19 +418,49 @@ def _sum_dim(ctx, x, dims, keepdim=False, dtype=None):
     return jnp.sum(x, axis=tuple(dims), keepdims=keepdim)
 
 
+@_register("aten.sum.default")
+def _sum(ctx, x, dtype=None):
+    return jnp.sum(x.astype(_torch_dtype_to_jnp(dtype))
+                   if dtype is not None else x)
+
+
 @_register("aten.linalg_vector_norm.default")
 def _vector_norm(ctx, x, ord=2, dim=None, keepdim=False, dtype=None):
+    # torch's vector_norm treats a multi-axis `dim` as one flattened
+    # vector; jnp.linalg.norm would compute a MATRIX norm there (ord=2
+    # → spectral norm via SVD), so reduce explicitly
     if dim is not None:
-        dim = tuple(dim) if isinstance(dim, (list, tuple)) else (dim,)
-    return jnp.linalg.norm(x.astype(jnp.float32), ord=ord, axis=dim,
-                           keepdims=keepdim)
+        dim = tuple(dim) if isinstance(dim, (list, tuple)) else (int(dim),)
+    a = jnp.abs(x.astype(_torch_dtype_to_jnp(dtype) if dtype is not None
+                         else jnp.float32))
+    p = float(ord)
+    if p == float("inf"):
+        return jnp.max(a, axis=dim, keepdims=keepdim)
+    if p == float("-inf"):
+        return jnp.min(a, axis=dim, keepdims=keepdim)
+    if p == 0.0:
+        return jnp.sum((a != 0).astype(a.dtype), axis=dim, keepdims=keepdim)
+    if p == 1.0:
+        return jnp.sum(a, axis=dim, keepdims=keepdim)
+    if p == 2.0:
+        return jnp.sqrt(jnp.sum(a * a, axis=dim, keepdims=keepdim))
+    return jnp.sum(a ** p, axis=dim, keepdims=keepdim) ** (1.0 / p)
 
 
 @_register("aten.clone.default", "aten.detach.default",
            "aten.contiguous.default", "aten.alias.default",
-           "aten.lift_fresh_copy.default", "aten._to_copy.default")
+           "aten.lift_fresh_copy.default")
 def _identity(ctx, x, *a, **k):
     return x
+
+
+@_register("aten._to_copy.default", "aten.to.dtype")
+def _to_copy(ctx, x, *a, dtype=None, **k):
+    # .to(dtype)/.float()/.int() — the cast is the whole point; jnp's
+    # float→int astype truncates toward zero exactly like torch's
+    if dtype is None:
+        return x
+    return x.astype(_torch_dtype_to_jnp(dtype))
 
 
 @_register("aten.empty.memory_format", "aten.zeros.default")
@@ -555,6 +618,12 @@ def _dropout(ctx, x, p=0.5, train=False):
     return x
 
 
+@_register("aten.bernoulli.p")
+def _bernoulli_p(ctx, x, p, generator=None):
+    # F.dropout under functionalize decomposes to bernoulli(keep_p)+mul
+    return jax.random.bernoulli(ctx.take_key(), p, x.shape).astype(x.dtype)
+
+
 @_register("aten.native_dropout.default")
 def _native_dropout(ctx, x, p, train):
     if not train or p == 0.0:
@@ -572,9 +641,11 @@ def _native_dropout(ctx, x, p, train):
 class BridgedModule:
     """A torch module lowered to JAX.
 
-    ``fn(params, *inputs)`` is pure and jittable; ``params`` maps the
-    torch state_dict names to jnp arrays (running stats included).
-    ``float_keys`` lists the float leaves (the differentiable subset).
+    ``fn(params, *inputs, rng=None)`` is pure and jittable; ``params``
+    maps the torch state_dict names to jnp arrays (running stats
+    included). ``float_keys`` lists the float leaves (the
+    differentiable subset). ``rng`` matters only if the module was
+    traced with stochastic ops active (train-mode dropout).
     """
 
     fn: Callable
@@ -584,8 +655,10 @@ class BridgedModule:
     # the trace is shape-specialized; these are the only valid shapes
     input_specs: Tuple[Tuple[Tuple[int, ...], Any], ...] = ()
 
-    def __call__(self, *inputs):
-        return self.fn(self.params, *inputs)
+    def __call__(self, *inputs, rng=None):
+        # rng is needed only when the module was traced in train mode
+        # with stochastic ops (dropout) still active
+        return self.fn(self.params, *inputs, rng=rng)
 
 
 class _Ctx:
@@ -676,36 +749,42 @@ def lower_torch_module(model, example_inputs: Sequence,
             f"{len(flat_labels)} — unsupported input structure")
 
     # constant tensors created inside forward() (e.g. hacnn's STN scale
-    # matrices) appear as get_attr nodes on the traced module
-    consts = {
-        n.target: jnp.asarray(
-            getattr(gm, n.target).detach().to(torch.float32).numpy())
-        for n in gm.graph.nodes if n.op == "get_attr"}
+    # matrices) appear as get_attr nodes on the traced module; keep
+    # integer/bool constants (indices, masks) in their native dtype
+    consts = {}
+    for n in gm.graph.nodes:
+        if n.op != "get_attr":
+            continue
+        t = getattr(gm, n.target).detach()
+        if t.is_floating_point():
+            t = t.to(torch.float32)   # fp64/bf16/half → TPU-friendly fp32
+        consts[n.target] = jnp.asarray(t.numpy())
 
     params = {k: jnp.asarray(v.detach().numpy()) for k, v in pb.items()}
     float_keys = tuple(k for k, v in params.items()
                        if jnp.issubdtype(v.dtype, jnp.floating))
     graph = gm.graph
-    ctx = _Ctx(compute_dtype)
+    n_in = len(example_inputs)
+    specs = tuple((tuple(t.shape), _torch_dtype_to_jnp(t.dtype))
+                  for t in example_inputs)
+    del example_inputs  # don't pin the example torch tensors in fn's closure
 
-    def fn(params_, *inputs):
-        if len(inputs) != len(example_inputs):
-            raise TypeError(f"expected {len(example_inputs)} inputs")
+    def fn(params_, *inputs, rng=None):
+        if len(inputs) != n_in:
+            raise TypeError(f"expected {n_in} inputs")
         env: Dict[Any, Any] = {}
         ph_iter = iter(placeholders)
         for label in flat_labels:
             node = next(ph_iter)
             kind, _, key = label.partition(":")
             env[node] = params_[key] if kind == "p" else inputs[int(key)]
-        result = _interpret(graph, consts, _Ctx(compute_dtype), env)
+        result = _interpret(graph, consts, _Ctx(compute_dtype, rng), env)
         if isinstance(result, (list, tuple)) and len(result) == 1:
             return result[0]
         return result
 
-    specs = tuple((tuple(t.shape), _torch_dtype_to_jnp(t.dtype))
-                  for t in example_inputs)
     return BridgedModule(fn=fn, params=params, float_keys=float_keys,
-                         n_inputs=len(example_inputs), input_specs=specs)
+                         n_inputs=n_in, input_specs=specs)
 
 
 @dataclass
