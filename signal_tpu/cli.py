@@ -72,7 +72,8 @@ def train_main(argv=None):
         from signal_tpu.parallel.mesh import create_mesh
 
         mesh = create_mesh(num_data=cfg.PARALLEL.DATA_AXIS,
-                           num_model=cfg.PARALLEL.MODEL_AXIS)
+                           num_model=cfg.PARALLEL.MODEL_AXIS,
+                           num_pipe=getattr(cfg.PARALLEL, "PIPE_AXIS", 1))
         logger.info("mesh: %s", mesh)
 
     do_train(cfg, spec, train_loader, val_loader, num_query, num_classes,
@@ -189,7 +190,8 @@ def test_main(argv=None):
         from signal_tpu.parallel.mesh import create_mesh, shard_params
 
         mesh = create_mesh(num_data=cfg.PARALLEL.DATA_AXIS,
-                           num_model=cfg.PARALLEL.MODEL_AXIS)
+                           num_model=cfg.PARALLEL.MODEL_AXIS,
+                           num_pipe=getattr(cfg.PARALLEL, "PIPE_AXIS", 1))
         params = shard_params(params, mesh)
         logger.info("mesh: %s", mesh)
 

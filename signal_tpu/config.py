@@ -167,6 +167,13 @@ class ParallelConfig:
     """TPU mesh layout (no reference equivalent; replaces NCCL DDP)."""
     DATA_AXIS: int = -1   # -1: remaining devices on the data axis
     MODEL_AXIS: int = 1   # tensor-parallel degree over attention heads/MLP
+    # GPipe pipeline over the CLIP ViT blocks (parallel/pipeline.py);
+    # mutually exclusive with MODEL_AXIS > 1
+    PIPE_AXIS: int = 1        # pipeline stages (must divide MODEL layers)
+    PIPE_MICROBATCH: int = 0  # microbatches per step (0 → = PIPE_AXIS)
+    # ZeRO-1: shard optimizer moments over 'data'
+    # (parallel/mesh.py::zero1_shardings) — params stay replicated
+    SHARD_OPT_STATE: bool = False
 
 
 @dataclass

@@ -69,6 +69,8 @@ class ModelSpec:
     remat_policy: str = "full"   # 'full'|'dots'|'attn'|'attn_mlp'|'half' (models/vit.py)
     scan_unroll: int = 1         # lax.scan unroll factor over ViT blocks
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
+    pipe_stages: int = 1         # PARALLEL.PIPE_AXIS pipeline stages (clip tower)
+    pipe_microbatches: int = 0   # PARALLEL.PIPE_MICROBATCH (0 → = stages)
 
     @classmethod
     def from_config(cls, cfg, num_classes: int, camera_num: int,
@@ -80,6 +82,11 @@ class ModelSpec:
         img_h, img_w = int(cfg.INPUT.SIZE_TRAIN[0]), int(cfg.INPUT.SIZE_TRAIN[1])
         keep_ratio = cfg.MODEL.KEEP_RATIO if cfg.MODEL.FIXED_KEEP_RATIO else None
         ttype = cfg.MODEL.TRANSFORMER_TYPE
+        pipe_stages = int(getattr(cfg.PARALLEL, "PIPE_AXIS", 1))
+        if pipe_stages > 1 and "ViT-B-16" not in ttype:
+            raise ValueError(
+                "PARALLEL.PIPE_AXIS > 1 is implemented for the CLIP ViT "
+                "tower only (the stacked-block scan it pipelines over)")
         layers, width, heads = 12, 768, 12
         mlp_ratio, qk_scale = 4.0, None
         if "ViT-B-16" in ttype:
@@ -155,6 +162,8 @@ class ModelSpec:
             remat_policy=str(getattr(cfg.MODEL, "REMAT_POLICY", "full")),
             scan_unroll=int(getattr(cfg.MODEL, "SCAN_UNROLL", 1)),
             miss=str(cfg.TEST.MISS),
+            pipe_stages=pipe_stages,
+            pipe_microbatches=int(getattr(cfg.PARALLEL, "PIPE_MICROBATCH", 0)),
         )
 
     @property
@@ -325,6 +334,8 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             remat_policy=spec.remat_policy,
             stride=spec.stride_size,
             unroll=spec.scan_unroll,
+            pipe_stages=spec.pipe_stages,
+            pipe_microbatches=spec.pipe_microbatches,
         )
     elif spec.backbone == "resnet":
         from signal_tpu.models.resnet import resnet50_forward

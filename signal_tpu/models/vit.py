@@ -186,6 +186,8 @@ def vit_forward(
     remat_policy: str = "full",
     stride: int | None = None,
     unroll: int = 1,
+    pipe_stages: int = 1,
+    pipe_microbatches: int = 0,
 ) -> Tuple[jnp.ndarray, ...]:
     """images [B, 3, H, W] → (patch_tokens [B, L, out], cls [B, out]).
 
@@ -254,6 +256,17 @@ def vit_forward(
     unroll = max(1, int(unroll))
     n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
 
+    pipe_mesh = None
+    if pipe_stages > 1:
+        from signal_tpu.parallel.mesh import active_mesh, in_local_shard
+
+        m = active_mesh()
+        if (m is not None and not in_local_shard()
+                and "pipe" in m.axis_names and m.shape["pipe"] > 1):
+            pipe_mesh = m
+        # no pipe mesh active (e.g. a single-device parity check of a
+        # pipeline config) → the plain scan below is numerically identical
+
     if return_intermediate:
         # split the scan so the penultimate layer's output is observable
         # (CLIP-ReID consumes it as `image_features_last`)
@@ -261,6 +274,14 @@ def vit_forward(
         tail = jax.tree.map(lambda a: a[n_layers - 1], params["blocks"])
         x_last, _ = jax.lax.scan(body, x, head, unroll=min(unroll, n_layers - 1))
         x = block_fn(tail, x_last)
+    elif pipe_mesh is not None:
+        if remat and remat_policy == "half":
+            raise ValueError("REMAT_POLICY 'half' does not compose with "
+                             "PIPE_AXIS > 1 (stage-local remat is uniform)")
+        from signal_tpu.parallel.pipeline import pipeline_blocks
+
+        x = pipeline_blocks(params["blocks"], x, block_fn, mesh=pipe_mesh,
+                            microbatches=pipe_microbatches)
     elif remat and remat_policy == "half":
         ckpt_fn = jax.checkpoint(block_fn)
 

@@ -260,10 +260,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     D = q.shape[-1]
     hd = D // num_heads
 
-    from signal_tpu.parallel.mesh import active_mesh
+    from signal_tpu.parallel.mesh import active_mesh, in_local_shard
 
+    # inside a manual shard_map body (the pipeline stage program) the
+    # operands are already per-shard — run the local kernel directly
     mesh = active_mesh()
-    multi = mesh is not None and mesh.size > 1
+    multi = mesh is not None and mesh.size > 1 and not in_local_shard()
     if multi:
         tp = int(mesh.shape.get("model", 1))
         if ({"data", "model"} <= set(mesh.axis_names)

@@ -4,3 +4,4 @@ from signal_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     replicated,
 )
+from signal_tpu.parallel.pipeline import pipeline_blocks  # noqa: F401

@@ -32,10 +32,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # --------------------------------------------------------------------------
 
 _ACTIVE_MESH: Optional[Mesh] = None
+_SHARD_LOCAL: bool = False
 
 
 def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
+
+
+def in_local_shard() -> bool:
+    """True while tracing inside a manual shard_map body (the pipeline
+    stage program): mesh-routing ops must run their per-shard local path
+    — nesting another shard_map there is an error."""
+    return _SHARD_LOCAL
+
+
+@contextlib.contextmanager
+def shard_local():
+    global _SHARD_LOCAL
+    prev = _SHARD_LOCAL
+    _SHARD_LOCAL = True
+    try:
+        yield
+    finally:
+        _SHARD_LOCAL = prev
 
 
 @contextlib.contextmanager
@@ -51,13 +70,22 @@ def use_mesh(mesh: Optional[Mesh]):
         _ACTIVE_MESH = prev
 
 
-def create_mesh(num_data: int = -1, num_model: int = 1, devices=None) -> Mesh:
+def create_mesh(num_data: int = -1, num_model: int = 1, num_pipe: int = 1,
+                devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if num_data == -1:
-        num_data = n // num_model
-    assert num_data * num_model == n, (
-        f"mesh {num_data}x{num_model} != {n} devices")
+        num_data = n // (num_model * num_pipe)
+    assert num_data * num_model * num_pipe == n, (
+        f"mesh {num_data}x{num_model}x{num_pipe} != {n} devices")
+    if num_pipe > 1:
+        # tp inside a pipeline stage is rejected: it would put
+        # width-sharded activations through the stage-to-stage ppermute
+        # hops (see parallel/pipeline.py). dp × pp composes freely.
+        assert num_model == 1, (
+            "PARALLEL.MODEL_AXIS and PIPE_AXIS are mutually exclusive")
+        arr = np.asarray(devices).reshape(num_data, num_model, num_pipe)
+        return Mesh(arr, ("data", "model", "pipe"))
     arr = np.asarray(devices).reshape(num_data, num_model)
     return Mesh(arr, ("data", "model"))
 
@@ -101,7 +129,20 @@ def _spec_for(path: str, leaf) -> P:
 
 
 def param_shardings(params, mesh: Mesh):
-    """Pytree of NamedShardings for the model params (TP over 'model')."""
+    """Pytree of NamedShardings for the model params (TP over 'model';
+    under a pipeline mesh the ViT blocks' stacked layer axis shards over
+    'pipe' — each stage holds its layers, matching the pipeline
+    shard_map's in_spec so entry is collective-free)."""
+    n_pipe = int(mesh.shape.get("pipe", 1)) if "pipe" in mesh.axis_names else 1
+
+    def spec_for(path, leaf):
+        spec = _spec_for(path, leaf)
+        if (n_pipe > 1 and "blocks." in f"{path}."
+                and getattr(leaf, "ndim", 0) >= 1
+                and leaf.shape[0] % n_pipe == 0):
+            tail = tuple(spec) + (None,) * (leaf.ndim - len(tuple(spec)))
+            return P("pipe", *tail[1:])
+        return spec
 
     def rec(node, path):
         if isinstance(node, dict):
@@ -110,7 +151,7 @@ def param_shardings(params, mesh: Mesh):
             # e.g. the resnet backbone's per-stage block lists
             out = [rec(v, f"{path}.{i}") for i, v in enumerate(node)]
             return type(node)(out) if isinstance(node, tuple) else out
-        return NamedSharding(mesh, _spec_for(path, node))
+        return NamedSharding(mesh, spec_for(path, node))
 
     return rec(params, "")
 
@@ -118,6 +159,35 @@ def param_shardings(params, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     shardings = param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def zero1_shardings(params, mesh: Mesh):
+    """ZeRO-1-style shardings for a params-shaped optimizer-state tree
+    (Adam mu/nu, SGD momentum): each leaf takes its parameter's sharding
+    widened with 'data' on the first free axis the data-parallel degree
+    divides. Keeping params replicated while mu/nu shard means GSPMD
+    dynamic-slices the (already all-reduced) grads into the local
+    moment update and all-gathers the parameter delta — the ZeRO-1
+    communication pattern, derived from annotations alone. Moment
+    memory drops ~dp×: Adam's fp32 mu+nu are 2 × 4 bytes/param, the
+    largest optimizer-side tensor at ViT-B scale.
+
+    Leaves no axis divides (odd shapes, tiny biases) stay on the
+    parameter's own sharding — correct, just not partitioned."""
+    dp = int(mesh.shape.get("data", 1))
+    base = param_shardings(params, mesh)
+
+    def widen(leaf, ns):
+        if dp == 1 or getattr(leaf, "ndim", 0) == 0:
+            return ns
+        spec = list(tuple(ns.spec)) + [None] * (leaf.ndim - len(tuple(ns.spec)))
+        for i in range(leaf.ndim):
+            if spec[i] is None and leaf.shape[i] % dp == 0:
+                spec[i] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return ns
+
+    return jax.tree.map(widen, params, base)
 
 
 def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
