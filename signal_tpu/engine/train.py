@@ -75,6 +75,12 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
                      zip(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
     accum = max(1, int(getattr(cfg.SOLVER, "ACCUM_ITER", 1)))
+    # ZeRO-1 (PARALLEL.SHARD_OPT_STATE): optimizer moments shard over
+    # 'data'; the constraints below make GSPMD dynamic-slice the
+    # all-reduced grads into the local moment update and all-gather the
+    # parameter delta — moment memory drops ~dp×, params stay replicated
+    shard_opt = (mesh is not None
+                 and bool(getattr(cfg.PARALLEL, "SHARD_OPT_STATE", False)))
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bn_state, opt_state, batch, lr_a, lr_b, group_trees,
@@ -191,6 +197,18 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
                 base_lr_tree=base_lr_tree, wd_tree=wd_tree,
                 trainable_tree=trainable_tree, lr_a=lr_a, lr_b=lr_b,
                 decoupled_wd=use_adamw)
+        if shard_opt:
+            from signal_tpu.parallel.mesh import param_shardings, zero1_shardings
+
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, param_shardings(new_params, mesh))
+            z = zero1_shardings(new_params, mesh)
+            if use_sgd:
+                new_opt = jax.lax.with_sharding_constraint(new_opt, z)
+            else:
+                new_opt = new_opt._replace(
+                    mu=jax.lax.with_sharding_constraint(new_opt.mu, z),
+                    nu=jax.lax.with_sharding_constraint(new_opt.nu, z))
         return new_params, new_bn, new_opt, loss, acc, centers
 
     if mesh is None:
@@ -337,6 +355,19 @@ def do_train(
             state.centers = tree["centers"]
         start_epoch = int(tree["epoch"]) + 1
         logger.info("Resumed from %s at epoch %d", resume_from, start_epoch)
+
+    if mesh is not None and getattr(cfg.PARALLEL, "SHARD_OPT_STATE", False):
+        # ZeRO-1: place the moments sharded over 'data' up front (fresh
+        # init and resume both) — the step's constraints keep them there
+        from signal_tpu.parallel.mesh import zero1_shardings
+
+        z = zero1_shardings(state.params, mesh)
+        if use_sgd:
+            state.opt_state = jax.tree.map(jax.device_put, state.opt_state, z)
+        else:
+            state.opt_state = state.opt_state._replace(
+                mu=jax.tree.map(jax.device_put, state.opt_state.mu, z),
+                nu=jax.tree.map(jax.device_put, state.opt_state.nu, z))
 
     log_period = cfg.SOLVER.LOG_PERIOD
     from signal_tpu.engine.eval import make_eval_step
