@@ -171,6 +171,12 @@ class ParallelConfig:
     # mutually exclusive with MODEL_AXIS > 1
     PIPE_AXIS: int = 1        # pipeline stages (must divide MODEL layers)
     PIPE_MICROBATCH: int = 0  # microbatches per step (0 → = PIPE_AXIS)
+    # Megatron-style sequence parallelism (requires MODEL_AXIS > 1):
+    # the ViT residual stream between blocks shards its TOKEN dim over
+    # 'model', so LN/residual/MLP-elementwise memory drops tp× and the
+    # attention out-proj all-reduce becomes reduce-scatter + all-gather
+    # (parallel/mesh.py::sequence_constrain). No-op without a TP mesh.
+    SEQUENCE: bool = False
     # ZeRO-1: shard optimizer moments over 'data'
     # (parallel/mesh.py::zero1_shardings) — params stay replicated
     SHARD_OPT_STATE: bool = False

@@ -71,6 +71,7 @@ class ModelSpec:
     miss: str = "nothing"        # TEST.MISS missing-modality eval pattern
     pipe_stages: int = 1         # PARALLEL.PIPE_AXIS pipeline stages (clip tower)
     pipe_microbatches: int = 0   # PARALLEL.PIPE_MICROBATCH (0 → = stages)
+    sequence_parallel: bool = False  # PARALLEL.SEQUENCE (Megatron-SP, clip tower)
 
     @classmethod
     def from_config(cls, cfg, num_classes: int, camera_num: int,
@@ -164,6 +165,7 @@ class ModelSpec:
             miss=str(cfg.TEST.MISS),
             pipe_stages=pipe_stages,
             pipe_microbatches=int(getattr(cfg.PARALLEL, "PIPE_MICROBATCH", 0)),
+            sequence_parallel=bool(getattr(cfg.PARALLEL, "SEQUENCE", False)),
         )
 
     @property
@@ -336,6 +338,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             unroll=spec.scan_unroll,
             pipe_stages=spec.pipe_stages,
             pipe_microbatches=spec.pipe_microbatches,
+            sequence_parallel=spec.sequence_parallel,
         )
     elif spec.backbone == "resnet":
         from signal_tpu.models.resnet import resnet50_forward

@@ -188,6 +188,7 @@ def vit_forward(
     unroll: int = 1,
     pipe_stages: int = 1,
     pipe_microbatches: int = 0,
+    sequence_parallel: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """images [B, 3, H, W] → (patch_tokens [B, L, out], cls [B, out]).
 
@@ -244,6 +245,17 @@ def vit_forward(
             pass  # handled below — needs two scan segments
         else:
             block_fn = jax.checkpoint(block_fn)
+
+    if sequence_parallel:
+        # PARALLEL.SEQUENCE (Megatron-SP): re-assert the token-sharded
+        # layout on every block's output. Outside jax.checkpoint so the
+        # constraint (and the collectives GSPMD derives from it) is not
+        # replayed in the remat backward.
+        from signal_tpu.parallel.mesh import sequence_constrain
+
+        inner_fn = block_fn
+        block_fn = lambda lp, h: sequence_constrain(inner_fn(lp, h))  # noqa: E731
+        x = sequence_constrain(x)
 
     def body(carry, layer_params):
         return block_fn(layer_params, carry), None

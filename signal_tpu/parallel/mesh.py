@@ -70,6 +70,24 @@ def use_mesh(mesh: Optional[Mesh]):
         _ACTIVE_MESH = prev
 
 
+def sequence_constrain(x):
+    """Megatron-SP sharding constraint on a [B, L, D] residual stream:
+    tokens over 'model'. Applied between ViT blocks when
+    PARALLEL.SEQUENCE is on, it tells GSPMD to keep the LN / residual /
+    elementwise regions token-sharded (activation bytes drop tp×) and to
+    lower the attention out-proj's all-reduce as reduce-scatter(+later
+    all-gather) — the Megatron-LM sequence-parallel schedule, derived
+    from annotations instead of hand-written collectives. L=129 is not
+    divisible by tp; GSPMD pads the last shard (correctness unaffected).
+    No-op off-mesh, under a manual shard_map body, or without TP."""
+    mesh = _ACTIVE_MESH
+    if (mesh is None or _SHARD_LOCAL or "model" not in mesh.axis_names
+            or int(mesh.shape["model"]) <= 1 or getattr(x, "ndim", 0) != 3):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data", "model", None)))
+
+
 def create_mesh(num_data: int = -1, num_model: int = 1, num_pipe: int = 1,
                 devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

@@ -314,3 +314,104 @@ def test_eval_mesh_matches_single_device(tmp_path):
                                   num_query, mesh=mesh)
     np.testing.assert_allclose(map_dp, map_ref, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cmc_dp), np.asarray(cmc_ref), atol=1e-6)
+
+
+@requires_8_devices
+def test_sp_forward_matches_single_device():
+    """PARALLEL.SEQUENCE (Megatron-SP): token-sharded residual stream
+    under 4×2 dp×tp equals the replicated forward. Flash kernel ON — the
+    shard_map entry reshards the token-sharded stream to head groups."""
+    import dataclasses as dc
+
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, init_signal_params)
+    from signal_tpu.parallel.mesh import (
+        create_mesh, shard_batch, shard_params, use_mesh)
+
+    cfg = Config()
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = False
+    cfg.MODEL.TOPK = 4
+    cfg.PARALLEL.SEQUENCE = True
+    spec = ModelSpec.from_config(cfg, num_classes=8, camera_num=2)
+    spec = dc.replace(spec, layers=2, width=256, feat_dim=64, num_heads=4,
+                      h=4, w=2, use_flash=True, compute_dtype="float32")
+    assert spec.sequence_parallel
+    params, bn = init_signal_params(jax.random.PRNGKey(5), spec)
+    rng = np.random.default_rng(5)
+    imgs = {m: jnp.asarray(rng.standard_normal((8, 3, 64, 32)), jnp.float32)
+            for m in ("RGB", "NI", "TI")}
+    cam = jnp.asarray(rng.integers(0, 2, 8))
+
+    ref = forward_eval(params, bn, imgs, cam, spec)  # no mesh → SP no-op
+
+    mesh = create_mesh(num_data=4, num_model=2)
+    fn = jax.jit(lambda p, s, x, c: forward_eval(p, s, x, c, spec))
+    with mesh, use_mesh(mesh):
+        p_tp = shard_params(params, mesh)
+        sharded = shard_batch({"imgs": imgs, "camids": cam}, mesh)
+        out = fn(p_tp, bn, sharded["imgs"], sharded["camids"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+
+@requires_8_devices
+def test_sp_train_step_matches_single_device():
+    """Full train step under 4×2 dp×tp WITH sequence parallelism equals
+    the single-device step (loss + updated params) — proving the
+    token-sharded layout threads correctly through remat'd backward."""
+    from signal_tpu.engine.train import make_train_step
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
+    from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
+
+    cfg = Config()
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = True
+    cfg.MODEL.TOPK = 4
+    cfg.MODEL.stageName = "together_CLS_Patch"
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.PARALLEL.SEQUENCE = True
+    num_classes = 8
+    spec = ModelSpec.from_config(cfg, num_classes=num_classes, camera_num=2)
+    spec = dataclasses.replace(spec, layers=2, width=256, feat_dim=64,
+                               num_heads=4, h=4, w=4, topk=4, use_flash=True,
+                               compute_dtype="float32")
+
+    params, bn_state = init_signal_params(jax.random.PRNGKey(6), spec)
+    group_trees = build_param_groups(params, cfg)
+
+    B = 8
+    rng = np.random.default_rng(6)
+    batch = {
+        "imgs": {m: jnp.asarray(rng.standard_normal((B, 3, 64, 64)), jnp.float32)
+                 for m in ("RGB", "NI", "TI")},
+        "pids": jnp.asarray(rng.integers(0, num_classes, B)),
+        "camids": jnp.asarray(rng.integers(0, 2, B)),
+    }
+    lr_a, lr_b = schedule_coeffs(cfg, 1)
+    la, lb = jnp.float32(lr_a), jnp.float32(lr_b)
+
+    step_1dev = make_train_step(spec, cfg, num_classes)
+    p_ref, _, _, loss_ref, acc_ref, _ = step_1dev(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, bn_state),
+        adam_init(params), batch, la, lb, group_trees)
+
+    mesh = create_mesh(num_data=4, num_model=2)
+    step_sp = make_train_step(spec, cfg, num_classes, mesh=mesh)
+    with mesh:
+        p8 = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        b8 = shard_batch(batch, mesh)
+        p_sp, _, _, loss_sp, acc_sp, _ = step_sp(
+            p8, jax.tree.map(jnp.copy, bn_state), adam_init(p8), b8,
+            la, lb, group_trees)
+
+    assert np.isfinite(float(loss_ref))
+    np.testing.assert_allclose(float(loss_ref), float(loss_sp), rtol=1e-4)
+    np.testing.assert_allclose(float(acc_ref), float(acc_sp), rtol=1e-6)
+    # same tolerance rationale as the TP test above (Adam step-1 sign
+    # normalization turns reduction-order noise into ±lr absolute noise)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-3)
