@@ -415,3 +415,64 @@ def test_sp_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-3)
+
+
+@requires_8_devices
+def test_sp_composes_with_accum_and_zero1():
+    """SEQUENCE + ACCUM_ITER=2 + SHARD_OPT_STATE on the 4×2 mesh equals
+    the same accumulated step on one device — the three levers users
+    combine for the biggest model that fits (token-sharded activations,
+    microbatched HBM peak, dp-sharded moments)."""
+    from signal_tpu.engine.train import _device_batch, make_train_step
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.parallel.mesh import create_mesh, shard_params
+    from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
+
+    cfg = Config()
+    cfg.MODEL.USE_A = True
+    cfg.MODEL.USE_B = False
+    cfg.MODEL.TOPK = 4
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.ACCUM_ITER = 2
+    cfg.PARALLEL.SEQUENCE = True
+    cfg.PARALLEL.SHARD_OPT_STATE = True
+    num_classes = 8
+    spec = ModelSpec.from_config(cfg, num_classes=num_classes, camera_num=2)
+    spec = dataclasses.replace(spec, layers=2, width=256, feat_dim=64,
+                               num_heads=4, h=4, w=4, topk=4, use_flash=True,
+                               compute_dtype="float32")
+
+    params, bn_state = init_signal_params(jax.random.PRNGKey(7), spec)
+    group_trees = build_param_groups(params, cfg)
+
+    B = 8
+    rng = np.random.default_rng(7)
+    raw = {
+        "imgs": {m: rng.standard_normal((B, 3, 64, 64)).astype(np.float32)
+                 for m in ("RGB", "NI", "TI")},
+        "pids": rng.integers(0, num_classes, B),
+        "camids": rng.integers(0, 2, B),
+    }
+    lr_a, lr_b = schedule_coeffs(cfg, 1)
+    la, lb = jnp.float32(lr_a), jnp.float32(lr_b)
+
+    cfg_1dev = cfg.clone()
+    cfg_1dev.PARALLEL.SHARD_OPT_STATE = False  # no mesh on one device
+    step_1dev = make_train_step(spec, cfg_1dev, num_classes)
+    b1 = _device_batch(raw, accum=2)
+    _, _, _, loss_ref, _, _ = step_1dev(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, bn_state),
+        adam_init(params), b1, la, lb, group_trees)
+
+    mesh = create_mesh(num_data=4, num_model=2)
+    step_sp = make_train_step(spec, cfg, num_classes, mesh=mesh)
+    with mesh:
+        p8 = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        b8 = _device_batch(raw, mesh, accum=2)
+        _, _, _, loss_sp, _, _ = step_sp(
+            p8, jax.tree.map(jnp.copy, bn_state), adam_init(p8), b8,
+            la, lb, group_trees)
+
+    assert np.isfinite(float(loss_ref))
+    np.testing.assert_allclose(float(loss_ref), float(loss_sp), rtol=1e-4)
