@@ -170,19 +170,22 @@ def bench_train(cfg, spec, params, bn_state, num_classes: int, B: int = 0):
     return B * n / dt, B, dt / n
 
 
-def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
+def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 1024):
     """Loader→device end-to-end eval with a per-stage breakdown:
 
       decode   — threaded native-C++ jpg decode + u8 collate only
-      h2d      — decode + host→device transfer (blocked per batch)
-      full     — decode + transfer + forward, double-buffered (the next
-                 batch's decode AND H2D overlap the current forward)
+      h2d      — decode + ONE packed [B,3,3,H,W] uint8 host→device
+                 transfer per batch (blocked, so the stage is attributable)
+      full     — decode + transfer + forward with a background prefetch
+                 thread (`signal_tpu.data.prefetch`): batch n+1's decode
+                 AND H2D overlap batch n's forward, so
+                 full ≈ min over the stage rates, not their sum
 
-    Returns (full_rate, ncpu, breakdown_dict). The breakdown attributes
-    the end-to-end bottleneck honestly: on this 1-CPU box everything
-    shares one core and the tunnel, so `decode` bounds `full`; on a real
-    v5e host (many cores, PCIe-local chip) decode scales per core while
-    the h2d/full deltas stay constant."""
+    Returns (full_rate, ncpu, breakdown_dict). On a 1-core host, decode
+    (~440/s per core for 256×128 q90 jpgs) is the binding stage; H2D of
+    the 37.7 MB packed batch costs ~27 ms (≈4700/s) through the tunnel.
+    Requires the native decoder (auto-built on first use); the PIL
+    fallback would measure a different pipeline (float32 over the wire)."""
     import os
     import shutil
     import tempfile
@@ -191,6 +194,7 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
     from PIL import Image
 
     from signal_tpu.data.loader import _BatchLoader
+    from signal_tpu.data.prefetch import prefetch
     from signal_tpu.data.transforms import ValTransform
     from signal_tpu.engine.eval import make_eval_step
 
@@ -216,39 +220,28 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
         spec, normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
 
     def put(batch):
-        return ({k: jnp.asarray(v) for k, v in batch["imgs"].items()},
-                jnp.asarray(batch["camids"]))
+        # single packed uint8 buffer — one tunnel round trip per batch
+        return (jnp.asarray(batch["packed"]), jnp.asarray(batch["camids"]))
 
     def run_decode():
         count = 0
         for batch in loader:
-            count += batch["imgs"]["RGB"].shape[0]
+            count += batch["packed"].shape[0]
         return count
 
     def run_h2d():
         count = 0
         for batch in loader:
             imgs, _ = put(batch)
-            jax.block_until_ready(imgs)   # the whole dict — all 3 modalities
-            count += imgs["RGB"].shape[0]
+            jax.block_until_ready(imgs)
+            count += imgs.shape[0]
         return count
 
     def run_full():
-        # double buffer: enqueue batch n+1's H2D while the device runs
-        # batch n's forward (dispatch is async; the final scalar fetch is
-        # the only sync point)
         acc = None
         count = 0
-        pending = None
-        for batch in loader:
-            nxt = put(batch)
-            if pending is not None:
-                feats = eval_step(params, bn_state, *pending)
-                acc = feats if acc is None else acc + feats
-                count += feats.shape[0]
-            pending = nxt
-        if pending is not None:
-            feats = eval_step(params, bn_state, *pending)
+        for imgs, camids in prefetch(loader, put):
+            feats = eval_step(params, bn_state, imgs, camids)
             acc = feats if acc is None else acc + feats
             count += feats.shape[0]
         float(jnp.sum(acc))  # sync
@@ -260,8 +253,11 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 384):
         return count / (time.perf_counter() - t0)
 
     try:
-        _retry(run_full)  # compile + warm page cache
+        from signal_tpu.data import native_decoder
+
+        _retry(run_full)  # compile + warm page cache + tunnel stream init
         breakdown = {
+            "native_decoder": native_decoder.available(),
             "decode_samples_per_s": round(timed(run_decode), 2),
             "decode_h2d_samples_per_s": round(timed(run_h2d), 2),
         }
@@ -342,10 +338,11 @@ def main():
         "train_mfu_pct": round(train_mfu, 2),
         "train_hfu_pct": round(train_hfu, 2),
         "eval_mfu_pct": round(eval_mfu, 2),
-        # loader→device pipeline (jpg decode in native C++): decode is
-        # the real per-core cost (554/s measured here on noise JPEGs;
-        # 630-1330/s in scripts/bench_pipeline.py), so matching the chip
-        # rate needs ceil(chip_rate / per-core decode rate) cores
+        # loader→device pipeline (jpg decode in native C++, one packed
+        # uint8 H2D per batch, prefetch overlap): decode is the per-core
+        # cost that bounds `full` on this 1-core host (~440/s per core on
+        # noise JPEGs), so matching the chip rate needs
+        # ceil(chip_rate / per-core decode rate) cores
         "e2e_eval_samples_per_s": round(e2e_rate, 2),
         "e2e_breakdown": e2e_breakdown,
         "host_cpus": host_cpus,

@@ -29,15 +29,22 @@ import jax
 import jax.numpy as jnp
 
 
-def normalize_images(imgs: Dict[str, jnp.ndarray], mean: Sequence[float],
-                     std: Sequence[float]) -> Dict[str, jnp.ndarray]:
+def normalize_images(imgs, mean: Sequence[float], std: Sequence[float]):
     """Device-side torchvision ``Normalize``: uint8 [B, 3, H, W] pixels →
     float32 ``(x/255 − mean)/std``. The affine is fused by XLA into the
     patch-embed conv; shipping uint8 instead of pre-normalized float32
     quarters host→device transfer (the hot wire on a TPU-VM). Float
-    inputs pass through untouched (already normalized on the host)."""
+    inputs pass through untouched (already normalized on the host).
+
+    Also accepts a packed [B, 3modal, 3ch, H, W] array (the single-buffer
+    H2D path) — the channel axis is then dim 2."""
     a = jnp.asarray([1.0 / (255.0 * s) for s in std], jnp.float32)
     b = jnp.asarray([-m / s for m, s in zip(mean, std)], jnp.float32)
+    if not isinstance(imgs, dict):
+        if imgs.dtype != jnp.uint8:
+            return imgs
+        return (imgs.astype(jnp.float32) * a[None, None, :, None, None]
+                + b[None, None, :, None, None])
     out = {}
     for name, x in imgs.items():
         if x.dtype == jnp.uint8:

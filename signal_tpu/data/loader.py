@@ -97,7 +97,13 @@ class _BatchLoader:
         paths, pid, camid, trackid = self.records[index]
         imgs = read_modalities(paths)
         rng = np.random.default_rng(rng_key)
-        arrs = [self.transform(img, rng) for img in imgs]
+        if self.emit_u8 and hasattr(self.transform, "raw_u8"):
+            # deterministic transforms (val / device-augment train) can
+            # defer Normalize to the device on the PIL path too — same 4×
+            # wire saving as the native-decoder path
+            arrs = [self.transform.raw_u8(img) for img in imgs]
+        else:
+            arrs = [self.transform(img, rng) for img in imgs]
         name = (paths if isinstance(paths, str) else paths[0]).split("/")[-1]
         return arrs, pid, camid, trackid, name
 
@@ -142,7 +148,12 @@ class _BatchLoader:
                                                   self.num_threads, filter=filt)
             arrs = dec.reshape(len(records), 3, 3, h, w)
         batch = {
+            # 'imgs' entries are VIEWS into 'packed' — the contiguous
+            # [B, 3modal, 3ch, H, W] buffer the H2D paths ship as ONE
+            # transfer (one tunnel round trip instead of three; the
+            # modality split happens on device, where slicing is free)
             "imgs": {"RGB": arrs[:, 0], "NI": arrs[:, 1], "TI": arrs[:, 2]},
+            "packed": arrs,
             "pids": np.asarray([r[1] for r in records], np.int64),
             "camids": np.asarray([r[2] for r in records], np.int64),
             "trackids": np.asarray([r[3] for r in records], np.int64),
@@ -199,6 +210,7 @@ class _BatchLoader:
         arrs = np.stack([np.stack(it[0]) for it in items])  # [B, 3modal, 3, H, W]
         batch = {
             "imgs": {"RGB": arrs[:, 0], "NI": arrs[:, 1], "TI": arrs[:, 2]},
+            "packed": arrs,
             "pids": np.asarray([it[1] for it in items], np.int64),
             "camids": np.asarray([it[2] for it in items], np.int64),
             "trackids": np.asarray([it[3] for it in items], np.int64),

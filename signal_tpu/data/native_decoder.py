@@ -22,24 +22,54 @@ def available() -> bool:
     return _load() is not None
 
 
+def _build():
+    """Best-effort `make -C native` (g++ + libjpeg, ~1 s). A fresh checkout
+    has only `decoder.cpp`; without this the loader silently falls back to
+    the PIL+float32 path, which costs ~8× decode time and 4× host→device
+    bytes — the round-3 bench measured exactly that fallback."""
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
+                       capture_output=True, timeout=120, check=True)
+        return True
+    except Exception as e:  # no toolchain / no libjpeg headers → PIL path
+        import logging
+
+        logging.getLogger("signal_tpu.data").warning(
+            "native decoder build failed (%s) — falling back to the PIL "
+            "pipeline (slower decode, float32 over the wire)", e)
+        return False
+
+
 def _load():
     global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if _load_failed or not os.path.exists(_LIB_PATH):
+    if _load_failed:
+        return None
+    if not os.path.exists(_LIB_PATH) and not _build():
+        _load_failed = True
         return None
     lib = ctypes.CDLL(_LIB_PATH)
-    try:  # stale prebuilt .so (older C ABI) → unavailable, PIL fallback
+    try:  # stale prebuilt .so (older C ABI) → rebuild once, else PIL
         lib.signal_decode_batch, lib.signal_decode_batch_packed
         lib.signal_decode_batch_u8, lib.signal_decode_batch_packed_u8
     except AttributeError:
-        import logging
+        if _build():
+            lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib.signal_decode_batch, lib.signal_decode_batch_packed
+            lib.signal_decode_batch_u8, lib.signal_decode_batch_packed_u8
+        except AttributeError:
+            import logging
 
-        logging.getLogger("signal_tpu.data").warning(
-            "%s is from an older build (missing symbols) — rebuild with "
-            "`make -C native`; falling back to the PIL pipeline", _LIB_PATH)
-        _load_failed = True   # warn once; hot loader path stays cheap
-        return None
+            logging.getLogger("signal_tpu.data").warning(
+                "%s is from an older build (missing symbols) — rebuild with "
+                "`make -C native`; falling back to the PIL pipeline",
+                _LIB_PATH)
+            _load_failed = True   # warn once; hot loader path stays cheap
+            return None
     for fn in (lib.signal_decode_batch, lib.signal_decode_batch_packed):
         fn.restype = ctypes.c_int
         fn.argtypes = [

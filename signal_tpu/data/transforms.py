@@ -105,6 +105,16 @@ class ValTransform:
         img = resize(img, self.size, Image.BILINEAR)
         return to_normalized_array(img, self.mean, self.std)
 
+    def raw_u8(self, img: Image.Image) -> np.ndarray:
+        """→ [3, H, W] uint8: resize only; Normalize runs on device
+        (`augment.normalize_images`) — same contract as the native
+        decoder's *_u8 entry points."""
+        img = resize(img, self.size, Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr.transpose(2, 0, 1)
+
 
 class RawTrainDecode:
     """Decode-only train transform: bicubic resize + normalize, NO
@@ -122,3 +132,12 @@ class RawTrainDecode:
     def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
         img = resize(img, self.size, Image.BICUBIC)
         return to_normalized_array(img, self.mean, self.std)
+
+    def raw_u8(self, img: Image.Image) -> np.ndarray:
+        """Resize-only uint8 (see ValTransform.raw_u8); bicubic to match
+        the reference train resize."""
+        img = resize(img, self.size, Image.BICUBIC)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr.transpose(2, 0, 1)

@@ -32,7 +32,8 @@ def make_eval_step(spec: ModelSpec, normalize=None, mesh=None):
 
     @jax.jit
     def eval_step(params, bn_state, imgs, camids):
-        if any(v.dtype == jnp.uint8 for v in imgs.values()):
+        vals = imgs.values() if isinstance(imgs, dict) else (imgs,)
+        if any(v.dtype == jnp.uint8 for v in vals):
             assert normalize is not None, (
                 "uint8 eval batch but make_eval_step(normalize=) not given")
             from signal_tpu.data.augment import normalize_images
@@ -62,14 +63,26 @@ def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
     runs identically everywhere (deterministic — no broadcast needed)."""
     eval_step = eval_step or make_eval_step(spec, normalize=normalize,
                                             mesh=mesh)
-    for batch in loader:
-        imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
+
+    def put(batch):
+        # one packed [B,3,3,H,W] H2D buffer when the loader provides it
+        # (one tunnel round trip; the modality split happens on device)
+        imgs = batch.get("packed")
+        if imgs is None:
+            imgs = {k: jnp.asarray(v) for k, v in batch["imgs"].items()}
         camids = jnp.asarray(batch["camids"])
         if mesh is not None:
             from signal_tpu.parallel.mesh import shard_batch
 
             sharded = shard_batch({"imgs": imgs, "camids": camids}, mesh)
             imgs, camids = sharded["imgs"], sharded["camids"]
+        elif not isinstance(imgs, dict):
+            imgs = jnp.asarray(imgs)
+        return imgs, camids, batch
+
+    from signal_tpu.data.prefetch import prefetch
+
+    for imgs, camids, batch in prefetch(loader, put):
         feats = eval_step(params, bn_state, imgs, camids)
         meta = batch.get("global")
         if meta is not None:  # multi-host: gather the global feature rows

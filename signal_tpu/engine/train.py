@@ -88,7 +88,8 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
         base_lr_tree, wd_tree, trainable_tree = group_trees
 
         def prepare(imgs, step_rng):
-            if any(v.dtype == jnp.uint8 for v in imgs.values()):
+            vals = imgs.values() if isinstance(imgs, dict) else (imgs,)
+            if any(v.dtype == jnp.uint8 for v in vals):
                 # loader shipped raw uint8 pixels (4× less transfer); run
                 # torchvision-Normalize here, fused into the forward
                 from signal_tpu.data.augment import normalize_images
@@ -99,6 +100,11 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
                 from signal_tpu.data.augment import augment_batch
 
                 assert step_rng is not None, "device_augment needs a per-step rng"
+                if not isinstance(imgs, dict):
+                    # packed single-buffer batch: split per modality for the
+                    # augmenter (device-side slices — free under XLA)
+                    imgs = {"RGB": imgs[:, 0], "NI": imgs[:, 1],
+                            "TI": imgs[:, 2]}
                 aug_rng = jax.random.fold_in(step_rng, 0)
                 model_rng = jax.random.fold_in(step_rng, 1)
                 imgs = augment_batch(aug_rng, imgs, flip_prob=flip_prob,
@@ -164,7 +170,9 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
                 cgsum = jax.tree.map(jnp.add, cgsum, cg)
                 return (new_bn, gsum, cgsum, lsum + loss, asum + acc), None
 
-            lead = next(iter(batch["imgs"].values())).shape[0]
+            ims = batch["imgs"]
+            lead = (next(iter(ims.values())) if isinstance(ims, dict)
+                    else ims).shape[0]
             if lead != accum:
                 raise ValueError(
                     f"SOLVER.ACCUM_ITER={accum} expects a microbatched "
@@ -239,8 +247,13 @@ def _device_batch(batch, mesh=None, accum: int = 1) -> Dict:
             x = x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
         return jnp.asarray(x)
 
+    packed = batch.get("packed")
     out = {
-        "imgs": {k: prep(v) for k, v in batch["imgs"].items()},
+        # prefer the loader's packed [B,3,3,H,W] buffer: ONE contiguous
+        # H2D transfer instead of three strided ones (the modality split
+        # happens on device inside the jitted step)
+        "imgs": (prep(packed) if packed is not None
+                 else {k: prep(v) for k, v in batch["imgs"].items()}),
         "pids": prep(batch["pids"]),
         "camids": prep(batch["camids"]),
     }
@@ -420,8 +433,18 @@ def do_train(
             pending = []
             needs_rng = device_augment or (spec.backbone == "imagenet"
                                            and spec.drop_path > 0)
-            for n_iter, batch in enumerate(train_loader):
-                db = _device_batch(batch, mesh, accum)
+            from signal_tpu.data.prefetch import prefetch
+
+            def _put(batch):
+                n = (batch["packed"] if "packed" in batch
+                     else batch["imgs"]["RGB"]).shape[0]
+                return _device_batch(batch, mesh, accum), n
+
+            # decode + H2D of batch n+1 overlap the device step on batch n
+            # (the reference gets this from torch workers + pinned copies,
+            # `processor.py:155-162`)
+            for n_iter, (db, n_samples) in enumerate(
+                    prefetch(train_loader, _put)):
                 step_rng = (jax.random.fold_in(key, epoch * 100000 + n_iter)
                             if needs_rng else None)
                 (state.params, state.bn_state, state.opt_state, loss, acc,
@@ -431,7 +454,7 @@ def do_train(
                     state.centers)
                 # keep loss/acc on device; fetching every step would serialize
                 # host↔TPU (the reference's .item() per step, `processor.py:280`)
-                pending.append((loss, acc, batch["imgs"]["RGB"].shape[0]))
+                pending.append((loss, acc, n_samples))
                 if (n_iter + 1) % log_period == 0:
                     for pl, pa, n in pending:
                         loss_meter.update(float(pl), n)

@@ -88,6 +88,17 @@ class ModelSpec:
             raise ValueError(
                 "PARALLEL.PIPE_AXIS > 1 is implemented for the CLIP ViT "
                 "tower only (the stacked-block scan it pipelines over)")
+        if (bool(getattr(cfg.PARALLEL, "SEQUENCE", False))
+                and int(getattr(cfg.PARALLEL, "MODEL_AXIS", 1)) <= 1):
+            import logging
+
+            # sequence_constrain is a no-op without a 'model' mesh axis —
+            # the user asked for SP but would silently get none
+            logging.getLogger("signal_tpu.model").warning(
+                "PARALLEL.SEQUENCE=True has no effect with MODEL_AXIS=%d — "
+                "Megatron-SP shards tokens over the 'model' axis and "
+                "requires MODEL_AXIS > 1 (docs/CONFIG.md)",
+                int(getattr(cfg.PARALLEL, "MODEL_AXIS", 1)))
         layers, width, heads = 12, 768, 12
         mlp_ratio, qk_scale = 4.0, None
         if "ViT-B-16" in ttype:
@@ -176,11 +187,22 @@ class ModelSpec:
     def image_size(self) -> Tuple[int, int]:
         """True input size. Only trusted when consistent with the h×w grid
         (specs rebuilt via dataclasses.replace shrink h/w without touching
-        img_h/img_w); otherwise reconstruct from the non-overlapping grid."""
+        img_h/img_w); otherwise reconstruct from the grid. Reconstruction
+        is exact only for non-overlapping patches (stride 16) — with an
+        overlapping stride (STRIDE_SIZE < 16, `clip/model.py:433`
+        semantics) several image sizes map to the same grid, so guessing
+        silently would hand FLOPs/serving a wrong size: raise instead."""
         if self.img_h and \
                 (self.img_h - 16) // self.stride_size + 1 == self.h and \
                 (self.img_w - 16) // self.stride_size + 1 == self.w:
             return (self.img_h, self.img_w)
+        if self.stride_size != 16:
+            raise ValueError(
+                f"ModelSpec.image_size is ambiguous: img_h/img_w "
+                f"({self.img_h}x{self.img_w}) do not match the {self.h}x"
+                f"{self.w} grid and stride {self.stride_size} overlaps — "
+                f"rebuild the spec with dataclasses.replace(..., img_h=, "
+                f"img_w=) instead of relying on reconstruction")
         return (self.h * self.stride_size, self.w * self.stride_size)
 
     @property
@@ -388,7 +410,9 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
     return patches, cls, new_base
 
 
-def _stack_modalities(imgs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def _stack_modalities(imgs) -> jnp.ndarray:
+    if not isinstance(imgs, dict):
+        return imgs  # already packed [B, 3modal, 3ch, H, W] (one H2D buffer)
     return jnp.stack([imgs[m] for m in MODALITIES], axis=1)
 
 

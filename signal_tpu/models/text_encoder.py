@@ -130,8 +130,24 @@ def prompt_forward(prompt_params, labels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
     return prompts, tokenized
 
 
-def load_clip_text_params(sd: Dict, layers: int = 12) -> Dict:
-    """CLIP state_dict text half → pytree (same layout as init_text_params)."""
+def load_clip_text_params(sd: Dict, layers: int = 12, tokenizer=None) -> Dict:
+    """CLIP state_dict text half → pytree (same layout as init_text_params).
+
+    Pretrained text weights are only meaningful against OpenAI token ids:
+    raises if the tokenizer in play (the given one, or the default
+    resolution when None) is the byte-fallback vocabulary — silent id
+    mismatch would make every prompt embed garbage rows."""
+    from signal_tpu.models.tokenizer import resolve_bpe_path
+
+    fallback = (not tokenizer.has_merges if tokenizer is not None
+                else resolve_bpe_path() is None)
+    if fallback:
+        raise ValueError(
+            "Loading pretrained CLIP text weights with a byte-fallback "
+            "tokenizer vocabulary: token ids will not match the tower's "
+            "embedding rows. Provide bpe_simple_vocab_16e6.txt.gz via "
+            "ClipTokenizer(bpe_path=...) or SIGNAL_TPU_BPE_PATH (the "
+            "vendored signal_tpu/models/data/ copy is missing).")
     g = lambda k: jnp.asarray(sd[k])  # noqa: E731
 
     def stack(fmt, transpose=False):

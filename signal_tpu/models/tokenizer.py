@@ -6,11 +6,17 @@ stock OpenAI implementation): reversible byte-level BPE over a 49,152-merge
 vocabulary, with <|startoftext|>/<|endoftext|> specials and 77-token
 context padding (`clip.tokenize`, `modeling/clip/clip.py`).
 
-The merge table is DATA, not code: pass ``bpe_path`` pointing at any CLIP
-distribution's ``bpe_simple_vocab_16e6.txt.gz``. Without one, a
-byte-fallback vocabulary is built so the pipeline stays runnable (tokens
-won't match OpenAI ids — fine for from-scratch training, not for loading
-pretrained text towers).
+The merge table is DATA, not code. Resolution order (`resolve_bpe_path`):
+explicit ``bpe_path`` arg → ``SIGNAL_TPU_BPE_PATH`` env var → the vendored
+``models/data/bpe_simple_vocab_16e6.txt.gz`` (OpenAI's standard CLIP
+vocabulary, shipped with every CLIP distribution — the reference vendors
+the identical file at `modeling/clip/bpe_simple_vocab_16e6.txt.gz`).
+Out of the box, token ids therefore match OpenAI's `clip.tokenize`.
+If no table resolves, a byte-fallback vocabulary keeps the pipeline
+runnable for from-scratch training (with a one-time warning); loading a
+PRETRAINED text tower against the fallback vocab is a hard error — the
+ids would silently mismatch the tower's embedding rows
+(see `clip_loader.load_clip_into_params`).
 """
 
 from __future__ import annotations
@@ -58,6 +64,21 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def resolve_bpe_path(bpe_path: Optional[str] = None) -> Optional[str]:
+    """Find a merge table: explicit arg → SIGNAL_TPU_BPE_PATH → vendored
+    copy. Returns None only if nothing resolves."""
+    candidates = [
+        bpe_path,
+        os.environ.get("SIGNAL_TPU_BPE_PATH"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "data", "bpe_simple_vocab_16e6.txt.gz"),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
 class ClipTokenizer:
     CONTEXT_LENGTH = 77
 
@@ -68,11 +89,20 @@ class ClipTokenizer:
         vocab = base_vocab + [v + "</w>" for v in base_vocab]
 
         merges: List[Tuple[str, str]] = []
-        if bpe_path and os.path.exists(bpe_path):
-            raw = gzip.open(bpe_path).read().decode("utf-8").split("\n")
+        resolved = resolve_bpe_path(bpe_path)
+        if resolved:
+            raw = gzip.open(resolved).read().decode("utf-8").split("\n")
             raw = raw[1:49152 - 256 - 2 + 1]
             merges = [tuple(m.split()) for m in raw]
             vocab += ["".join(m) for m in merges]
+        else:
+            import logging
+
+            logging.getLogger("signal_tpu.model").warning(
+                "No BPE merge table found (arg/SIGNAL_TPU_BPE_PATH/vendored"
+                " copy all missing) — using a byte-fallback vocabulary. "
+                "Token ids will NOT match OpenAI CLIP; loading a pretrained"
+                " text tower with this tokenizer is an error.")
 
         vocab += ["<|startoftext|>", "<|endoftext|>"]
         self.encoder = {tok: i for i, tok in enumerate(vocab)}
@@ -85,6 +115,12 @@ class ClipTokenizer:
             if _HAS_REGEX else
             r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
             re.IGNORECASE)
+
+    @property
+    def has_merges(self) -> bool:
+        """True when a real BPE merge table loaded (ids match OpenAI CLIP);
+        False for the byte-fallback vocabulary."""
+        return bool(self.bpe_ranks)
 
     @property
     def sot_token(self) -> int:

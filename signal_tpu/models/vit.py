@@ -246,6 +246,8 @@ def vit_forward(
         else:
             block_fn = jax.checkpoint(block_fn)
 
+    unwrapped_fn = block_fn  # pre-SP (used by the 'half' branch below)
+    sequence_constrain = None
     if sequence_parallel:
         # PARALLEL.SEQUENCE (Megatron-SP): re-assert the token-sharded
         # layout on every block's output. Outside jax.checkpoint so the
@@ -295,7 +297,14 @@ def vit_forward(
         x = pipeline_blocks(params["blocks"], x, block_fn, mesh=pipe_mesh,
                             microbatches=pipe_microbatches)
     elif remat and remat_policy == "half":
-        ckpt_fn = jax.checkpoint(block_fn)
+        # checkpoint the UN-SP-wrapped block and re-apply the sequence
+        # constraint outside, so the SP collectives are not replayed in
+        # the remat backward (same rule as the policy branches above)
+        ckpt_inner = jax.checkpoint(unwrapped_fn)
+        if sequence_constrain is not None:
+            ckpt_fn = lambda lp, h: sequence_constrain(ckpt_inner(lp, h))  # noqa: E731
+        else:
+            ckpt_fn = ckpt_inner
 
         def body_ckpt(carry, layer_params):
             return ckpt_fn(layer_params, carry), None

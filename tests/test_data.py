@@ -350,3 +350,96 @@ def test_val_loader_emits_u8_and_eval_consumes_it(tmp_path):
     (_, _, val_loader, *_rest) = make_dataloader(cfg)
     batch = next(iter(val_loader))
     assert batch["imgs"]["RGB"].dtype == np.float32
+
+
+def test_loader_packed_buffer_is_contiguous_view_parent(tmp_path):
+    """Both loader paths must ship `packed` — ONE contiguous
+    [B, 3modal, 3ch, H, W] buffer whose per-modality 'imgs' entries are
+    views into it (single H2D transfer, device-side split)."""
+    import numpy as np
+    from PIL import Image
+
+    from signal_tpu.data.loader import _BatchLoader
+    from signal_tpu.data.transforms import ValTransform
+
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(4):
+        paths = []
+        for m in range(3):
+            p = tmp_path / f"{i}_{m}.jpg"
+            Image.fromarray(rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)
+                            ).save(p, quality=90)
+            paths.append(str(p))
+        records.append((tuple(paths), i, 0, -1))
+    vt = ValTransform((64, 32), (0.5,) * 3, (0.5,) * 3)
+    for emit_u8 in (True, False):
+        loader = _BatchLoader(records, vt, 4, lambda: list(range(4)),
+                              drop_last=True, seed=0, num_threads=2,
+                              emit_u8=emit_u8)
+        batch = next(iter(loader))
+        packed = batch["packed"]
+        assert packed.shape == (4, 3, 3, 64, 32)
+        assert packed.flags["C_CONTIGUOUS"]
+        assert packed.dtype == (np.uint8 if emit_u8 else np.float32)
+        for i, m in enumerate(("RGB", "NI", "TI")):
+            np.testing.assert_array_equal(batch["imgs"][m], packed[:, i])
+
+
+def test_pil_fallback_emits_u8(tmp_path):
+    """With emit_u8, the PIL path (non-jpg records) must also ship uint8
+    via ValTransform.raw_u8 — matching the native decoder's contract."""
+    import numpy as np
+
+    from signal_tpu.data.loader import _BatchLoader
+    from signal_tpu.data.transforms import ValTransform
+
+    records = [((f"synth:{i % 2}:{i}:0", f"synth:{i % 2}:{i}:1",
+                 f"synth:{i % 2}:{i}:2"), i, 0, -1) for i in range(4)]
+    vt = ValTransform((64, 32), (0.5,) * 3, (0.5,) * 3)
+    loader = _BatchLoader(records, vt, 4, lambda: list(range(4)),
+                          drop_last=True, seed=0, num_threads=1, emit_u8=True)
+    batch = next(iter(loader))
+    assert batch["packed"].dtype == np.uint8
+
+
+def test_prefetch_overlap_and_errors():
+    import time
+
+    from signal_tpu.data.prefetch import prefetch
+
+    # order preserved, all items delivered
+    out = list(prefetch(range(10), lambda x: x * 2, depth=3))
+    assert out == [i * 2 for i in range(10)]
+
+    # worker exceptions surface to the consumer
+    def bad(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(prefetch(range(10), bad))
+
+    # early abandonment doesn't deadlock the worker
+    gen = prefetch(range(1000), lambda x: x, depth=2)
+    assert next(gen) == 0
+    gen.close()
+
+    # the put of item n+1 runs while the consumer processes item n
+    times = []
+
+    def record(x):
+        times.append(("put", x, time.perf_counter()))
+        return x
+
+    consumed = []
+    for item in prefetch(range(3), record, depth=2):
+        time.sleep(0.05)
+        consumed.append(("got", item, time.perf_counter()))
+    # item 1's put happened before item 0 was consumed (overlap)
+    put1 = next(t for k, i, t in times if k == "put" and i == 1)
+    got0 = next(t for k, i, t in consumed if k == "got" and i == 0)
+    assert put1 < got0

@@ -134,3 +134,73 @@ def test_mixed_camera_batch_matches_per_sample():
         single = forward_eval(params, bn, one, cams[b:b + 1], spec)
         np.testing.assert_allclose(np.asarray(full[b]), np.asarray(single[0]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_packed_batch_matches_dict():
+    """The single-buffer H2D path: a packed [B, 3modal, 3ch, H, W] array
+    must produce bit-identical outputs to the {'RGB','NI','TI'} dict
+    (forward_eval stacks the dict into exactly that layout)."""
+    spec = tiny_spec()
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    imgs, cam = tiny_batch(spec)
+    packed = jnp.stack([imgs[m] for m in ("RGB", "NI", "TI")], axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(forward_eval(params, bn, imgs, cam, spec)),
+        np.asarray(forward_eval(params, bn, packed, cam, spec)))
+
+
+def test_packed_uint8_normalize_matches_dict():
+    from signal_tpu.data.augment import normalize_images
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.integers(0, 256, (2, 3, 3, 8, 8), dtype=np.uint8))
+    mean, std = (0.5, 0.4, 0.3), (0.5, 0.6, 0.7)
+    out_packed = normalize_images(packed, mean, std)
+    out_dict = normalize_images(
+        {"RGB": packed[:, 0], "NI": packed[:, 1], "TI": packed[:, 2]},
+        mean, std)
+    for i, m in enumerate(("RGB", "NI", "TI")):
+        np.testing.assert_allclose(np.asarray(out_packed[:, i]),
+                                   np.asarray(out_dict[m]), rtol=1e-6)
+
+
+def test_overlap_stride_forward():
+    """STRIDE_SIZE < 16 (overlapping patch conv, `clip/model.py:433`
+    semantics): the grid formula (img−16)//stride+1 must drive both the
+    conv and the trusted image_size round-trip."""
+    from signal_tpu.config import Config
+
+    cfg = Config()
+    cfg.MODEL.USE_A = False
+    cfg.MODEL.USE_B = False
+    cfg.MODEL.STRIDE_SIZE = (12, 12)
+    cfg.INPUT.SIZE_TRAIN = (64, 64)
+    cfg.INPUT.SIZE_TEST = (64, 64)
+    spec = ModelSpec.from_config(cfg, num_classes=5, camera_num=2)
+    assert (spec.h, spec.w) == (5, 5)          # (64-16)//12+1
+    assert spec.image_size == (64, 64)          # trusted, not reconstructed
+    spec = dataclasses.replace(spec, layers=2, width=64, feat_dim=32,
+                               num_heads=4, use_flash=False,
+                               compute_dtype="float32")
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    imgs = {m: jnp.asarray(rng.standard_normal((2, 3, 64, 64)), jnp.float32)
+            for m in ("RGB", "NI", "TI")}
+    feat = forward_eval(params, bn, imgs, jnp.asarray([0, 1]), spec)
+    assert feat.shape == (2, 96)
+
+
+def test_image_size_ambiguous_overlap_raises():
+    """dataclasses.replace that shrinks the grid under an overlapping
+    stride makes image_size unreconstructable — must raise, not guess."""
+    import pytest
+
+    from signal_tpu.config import Config
+
+    cfg = Config()
+    cfg.MODEL.STRIDE_SIZE = (12, 12)
+    cfg.INPUT.SIZE_TRAIN = (64, 64)
+    spec = ModelSpec.from_config(cfg, num_classes=5, camera_num=2)
+    shrunk = dataclasses.replace(spec, h=4, w=4)
+    with pytest.raises(ValueError, match="ambiguous"):
+        _ = shrunk.image_size
