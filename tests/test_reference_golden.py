@@ -340,3 +340,84 @@ def test_reference_checkpoint_roundtrip_full_model(golden, tmp_path):
     b = forward_eval(params2, bn2, j, jnp.asarray(cams), spec)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_direct0_train_heads_match_reference(ref_make_model, tmp_path):
+    """DIRECT=0 (the vehicle configs, RGBNT100/MSVR310): per-modality
+    BNNeck+classifier heads instead of one concat head — the reference
+    returns (sign, r_score, r, n_score, n, t_score, t, vars_score,
+    vars_total, gam) at sge='CLS' (`make_model.py:240-255`). Covers the
+    composition branch the DIRECT=1 golden tests never touch."""
+    import jax
+    import jax.numpy as jnp
+
+    from signal_tpu.models.clip_loader import (
+        export_reference_signal_state_dict, load_clip_into_params)
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, forward_train, init_signal_params)
+
+    mm, sd = ref_make_model
+    cfg = _flagship_cfg()
+    cfg.MODEL.DIRECT = 0
+
+    spec = ModelSpec.from_config(cfg, num_classes=NUM_CLASSES,
+                                 camera_num=CAM_NUM)
+    spec = dataclasses.replace(spec, compute_dtype="float32",
+                               use_flash=False, remat=False, stage="CLS")
+    params, bn_state = init_signal_params(jax.random.PRNGKey(5), spec)
+    pt = tmp_path / "ViT-B-16.pt"
+    torch.save({k: v.clone() for k, v in sd.items()}, str(pt))
+    params = load_clip_into_params(params, str(pt), spec)
+
+    ref = mm.Signal(NUM_CLASSES, cfg, camera_num=CAM_NUM, view_num=0,
+                    factory={})
+    exported = {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in export_reference_signal_state_dict(
+                    params, bn_state, spec).items()}
+    result = ref.load_state_dict(exported, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    leftover = [k for k in result.missing_keys
+                if "num_batches_tracked" not in k]
+    assert not leftover, f"ref params the exporter missed: {leftover}"
+
+    rng = np.random.default_rng(11)
+    imgs = {m: rng.standard_normal((B, 3, 256, 128)).astype(np.float32)
+            for m in ("RGB", "NI", "TI")}
+    cams = rng.integers(0, CAM_NUM, B)
+
+    ref.train()
+    with torch.no_grad():
+        got_ref = ref({m: torch.from_numpy(v) for m, v in imgs.items()},
+                      cam_label=torch.from_numpy(cams), training=True,
+                      sge="CLS")
+    out, _ = forward_train(params, bn_state,
+                           {m: jnp.asarray(v) for m, v in imgs.items()},
+                           jnp.asarray(cams), spec)
+
+    assert got_ref[0] == 3
+    (_, r_score, r_g, n_score, n_g, t_score, t_g,
+     vars_score, vars_total, gam) = got_ref
+    pairs = [
+        ("r_score", out["scores"][0], r_score), ("r", out["feats"][0], r_g),
+        ("n_score", out["scores"][1], n_score), ("n", out["feats"][1], n_g),
+        ("t_score", out["scores"][2], t_score), ("t", out["feats"][2], t_g),
+        ("vars_score", out["scores"][3], vars_score),
+        ("vars_total", out["feats"][3], vars_total),
+        ("gam", out["gam"], gam),
+    ]
+    for name, mine, theirs in pairs:
+        np.testing.assert_allclose(
+            np.asarray(mine), theirs.detach().numpy(), rtol=5e-3, atol=5e-3,
+            err_msg=f"DIRECT=0 train head {name!r} diverged")
+    assert out["lam"] is None
+
+    # eval side: DIRECT does not change inference ([ori, vars_total])
+    ref.eval()
+    with torch.no_grad():
+        ev_ref = ref({m: torch.from_numpy(v) for m, v in imgs.items()},
+                     cam_label=torch.from_numpy(cams), training=False)
+    ev = forward_eval(params, bn_state,
+                      {m: jnp.asarray(v) for m, v in imgs.items()},
+                      jnp.asarray(cams), spec)
+    np.testing.assert_allclose(np.asarray(ev), ev_ref.numpy(),
+                               rtol=5e-3, atol=5e-3)
