@@ -181,11 +181,15 @@ def bench_e2e_eval(cfg, spec, params, bn_state, n_samples: int = 1024):
                  AND H2D overlap batch n's forward, so
                  full ≈ min over the stage rates, not their sum
 
-    Returns (full_rate, ncpu, breakdown_dict). On a 1-core host, decode
-    (~440/s per core for 256×128 q90 jpgs) is the binding stage; H2D of
-    the 37.7 MB packed batch costs ~27 ms (≈4700/s) through the tunnel.
-    Requires the native decoder (auto-built on first use); the PIL
-    fallback would measure a different pipeline (float32 over the wire)."""
+    Returns (full_rate, ncpu, breakdown_dict). Measured here (1-core
+    host, chip behind a network tunnel): decode 532/s, decode+H2D 104/s,
+    full 107/s — the TUNNEL binds (~38 MB/s of packed uint8; the single
+    packed transfer is what lifted H2D 32→104/s over three per-modality
+    transfers). On a real TPU-VM host the chip is PCIe-local (>10 GB/s,
+    H2D ≈ free) and per-core decode (~530/s on noise JPEGs) becomes the
+    binding stage — size the host at ceil(chip_rate / per-core decode)
+    cores. Requires the native decoder (auto-built on first use); the
+    PIL fallback would measure a different pipeline (float32 wire)."""
     import os
     import shutil
     import tempfile
@@ -339,9 +343,10 @@ def main():
         "train_hfu_pct": round(train_hfu, 2),
         "eval_mfu_pct": round(eval_mfu, 2),
         # loader→device pipeline (jpg decode in native C++, one packed
-        # uint8 H2D per batch, prefetch overlap): decode is the per-core
-        # cost that bounds `full` on this 1-core host (~440/s per core on
-        # noise JPEGs), so matching the chip rate needs
+        # uint8 H2D per batch, prefetch overlap): on THIS box the remote
+        # chip's tunnel binds `full` (breakdown: decode 532/s vs
+        # decode+H2D 104/s); on a PCIe-local host H2D is ~free and
+        # per-core decode binds, so matching the chip rate needs
         # ceil(chip_rate / per-core decode rate) cores
         "e2e_eval_samples_per_s": round(e2e_rate, 2),
         "e2e_breakdown": e2e_breakdown,
