@@ -421,3 +421,81 @@ def test_direct0_train_heads_match_reference(ref_make_model, tmp_path):
                       jnp.asarray(cams), spec)
     np.testing.assert_allclose(np.asarray(ev), ev_ref.numpy(),
                                rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("use_a", [False, True])
+def test_ablation_signs_match_reference(ref_make_model, tmp_path, use_a):
+    """The ablation branches: sign=1 (baseline, USE_A=USE_B=False) and
+    sign=2 (+SIM, USE_B=False) return different tuples
+    (`make_model.py:223-233`) and build different parameter sets; the
+    sign=3 golden tests never construct them. One train + one eval
+    forward each against the imported reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from signal_tpu.models.clip_loader import (
+        export_reference_signal_state_dict, load_clip_into_params)
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, forward_train, init_signal_params)
+
+    mm, sd = ref_make_model
+    cfg = _flagship_cfg()
+    cfg.MODEL.USE_A = use_a
+    cfg.MODEL.USE_B = False
+
+    spec = ModelSpec.from_config(cfg, num_classes=NUM_CLASSES,
+                                 camera_num=CAM_NUM)
+    spec = dataclasses.replace(spec, compute_dtype="float32",
+                               use_flash=False, remat=False, stage="CLS")
+    params, bn_state = init_signal_params(jax.random.PRNGKey(8), spec)
+    pt = tmp_path / "ViT-B-16.pt"
+    torch.save({k: v.clone() for k, v in sd.items()}, str(pt))
+    params = load_clip_into_params(params, str(pt), spec)
+
+    ref = mm.Signal(NUM_CLASSES, cfg, camera_num=CAM_NUM, view_num=0,
+                    factory={})
+    exported = {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in export_reference_signal_state_dict(
+                    params, bn_state, spec).items()}
+    result = ref.load_state_dict(exported, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    leftover = [k for k in result.missing_keys
+                if "num_batches_tracked" not in k]
+    assert not leftover, f"ref params the exporter missed: {leftover}"
+
+    rng = np.random.default_rng(13)
+    imgs = {m: rng.standard_normal((B, 3, 256, 128)).astype(np.float32)
+            for m in ("RGB", "NI", "TI")}
+    cams = rng.integers(0, CAM_NUM, B)
+
+    ref.train()
+    with torch.no_grad():
+        got_ref = ref({m: torch.from_numpy(v) for m, v in imgs.items()},
+                      cam_label=torch.from_numpy(cams), training=True,
+                      sge="CLS")
+    out, _ = forward_train(params, bn_state,
+                           {m: jnp.asarray(v) for m, v in imgs.items()},
+                           jnp.asarray(cams), spec)
+
+    assert got_ref[0] == (2 if use_a else 1)
+    pairs = [("ori_score", out["scores"][0], got_ref[1]),
+             ("ori", out["feats"][0], got_ref[2])]
+    if use_a:
+        pairs += [("vars_score", out["scores"][1], got_ref[3]),
+                  ("vars_total", out["feats"][1], got_ref[4])]
+    assert out["gam"] is None and out["lam"] is None
+    for name, mine, theirs in pairs:
+        np.testing.assert_allclose(
+            np.asarray(mine), theirs.detach().numpy(), rtol=5e-3, atol=5e-3,
+            err_msg=f"sign={2 if use_a else 1} head {name!r} diverged")
+
+    ref.eval()
+    with torch.no_grad():
+        ev_ref = ref({m: torch.from_numpy(v) for m, v in imgs.items()},
+                     cam_label=torch.from_numpy(cams), training=False)
+    ev = forward_eval(params, bn_state,
+                      {m: jnp.asarray(v) for m, v in imgs.items()},
+                      jnp.asarray(cams), spec)
+    assert ev.shape == tuple(ev_ref.shape)  # [B,3072] w/ SIM else [B,1536]
+    np.testing.assert_allclose(np.asarray(ev), ev_ref.numpy(),
+                               rtol=5e-3, atol=5e-3)
