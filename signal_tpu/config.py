@@ -64,6 +64,14 @@ class ModelConfig:
                                        # | 'attn' (save attention outs) | 'attn_mlp'
                                        # (save attention+MLP outs) | 'half' (remat only
                                        # the first 6 blocks); see models/vit.py
+    MOE_EXPERTS: int = 0               # >1: CLIP blocks' MLP becomes a routed MoE
+                                       # (ops/moe.py); gives the reference's dormant
+                                       # MoE_Loss_weight knob its consumer (the Switch
+                                       # load-balance aux loss). Experts shard over the
+                                       # mesh 'model' axis (expert parallelism).
+    MOE_TOPK: int = 1                  # experts per token (1 = Switch, 2 = GShard-ish)
+    MOE_CAPACITY: float = 1.25         # per-group capacity factor (C = cf·k·L/E);
+                                       # over-capacity tokens ride the residual
     SCAN_UNROLL: int = 1               # lax.scan unroll over the CLIP tower's ViT blocks
                                        # (Signal path only — the imagenet tower is a
                                        # Python loop, i.e. always fully unrolled; t2t and

@@ -61,6 +61,7 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
     loss_fn = make_loss(cfg, num_classes)
     gram_w = cfg.MODEL.Gram_Loss_weight
     pat_w = cfg.MODEL.PAT_Loss_weight
+    moe_w = float(getattr(cfg.MODEL, "MoE_Loss_weight", 0.0))
     use_sgd = cfg.SOLVER.OPTIMIZER_NAME == "SGD"
     use_adamw = cfg.SOLVER.OPTIMIZER_NAME == "AdamW"  # decoupled decay
     momentum = cfg.SOLVER.MOMENTUM
@@ -116,7 +117,8 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
             out, new_bn = forward_train(p, bn, imgs, camids, spec,
                                         rng=model_rng)
             loss = total_train_loss(out, pids, loss_fn,
-                                    gram_weight=gram_w, pat_weight=pat_w)
+                                    gram_weight=gram_w, pat_weight=pat_w,
+                                    moe_weight=moe_w)
             if use_center and c is not None:
                 from signal_tpu.losses import center_loss
 
@@ -231,6 +233,11 @@ def make_train_step(spec: ModelSpec, cfg, num_classes: int,
         with use_mesh(mesh):
             return train_step(*args, **kwargs)
 
+    # AOT introspection (scripts/bench_pp.py lowers the step for
+    # memory_analysis): expose the underlying jit — lower it under
+    # ``use_mesh(mesh)`` so trace-time mesh ops see the mesh
+    train_step_with_mesh.jitted = train_step
+    train_step_with_mesh.mesh = mesh
     return train_step_with_mesh
 
 

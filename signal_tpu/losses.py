@@ -159,9 +159,12 @@ def total_train_loss(
     *,
     gram_weight: float,
     pat_weight: float,
+    moe_weight: float = 0.0,
 ) -> jnp.ndarray:
     """Sign-dispatch loss assembly (`engine/processor.py:176-256`): one
-    loss_fn term per (score, feat) head + α·GAM + β·LAM."""
+    loss_fn term per (score, feat) head + α·GAM + β·LAM (+ the MoE
+    load-balance aux weighted by MODEL.MoE_Loss_weight — the reference
+    declares that knob without a consumer, `config/defaults.py:28`)."""
     loss = 0.0
     for score, feat in zip(outputs["scores"], outputs["feats"]):
         loss = loss + loss_fn(score, feat, targets)
@@ -169,4 +172,6 @@ def total_train_loss(
         loss = loss + gram_weight * outputs["gam"]
     if outputs.get("lam") is not None:
         loss = loss + pat_weight * outputs["lam"]
+    if outputs.get("moe_aux") is not None:
+        loss = loss + moe_weight * outputs["moe_aux"]
     return loss

@@ -101,6 +101,22 @@ def load_clip_into_params(params: Dict[str, Any], path: str, spec) -> Dict[str, 
     old_blocks = params.get("base", {}).get("blocks", {})
     if "adapter" in old_blocks:
         base["blocks"]["adapter"] = old_blocks["adapter"]
+    if "moe" in old_blocks:
+        # MODEL.MOE_EXPERTS: sparse-upcycle the dense CLIP MLP into every
+        # expert (per layer) and keep the freshly-initialized router —
+        # step 0 computes the dense model (see ops/moe.py)
+        from signal_tpu.ops.moe import upcycle_dense_mlp
+
+        import jax
+
+        n_experts = old_blocks["moe"]["fc_kernel"].shape[1]
+        dense = base["blocks"].pop("mlp")
+        per_layer = [upcycle_dense_mlp(
+            jax.tree.map(lambda a: a[i], dense), n_experts)
+            for i in range(spec.layers)]
+        moe = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+        moe["router"] = old_blocks["moe"]["router"]
+        base["blocks"]["moe"] = moe
     new["base"] = base
     return new
 
@@ -231,6 +247,10 @@ def export_reference_signal_state_dict(params: Dict[str, Any],
         raise NotImplementedError(
             "torch export with LoRA/adapter/prompt branches has no "
             "reference state-dict naming — export the base model")
+    if "moe" in base_blocks or getattr(spec, "moe_experts", 0) > 1:
+        raise NotImplementedError(
+            "torch export with MODEL.MOE_EXPERTS > 1 has no reference "
+            "state-dict naming (the reference's MLP is dense)")
 
     out: Dict[str, np.ndarray] = {}
     a = lambda x: np.asarray(x, dtype=np.float32)  # noqa: E731

@@ -72,6 +72,9 @@ class ModelSpec:
     pipe_stages: int = 1         # PARALLEL.PIPE_AXIS pipeline stages (clip tower)
     pipe_microbatches: int = 0   # PARALLEL.PIPE_MICROBATCH (0 → = stages)
     sequence_parallel: bool = False  # PARALLEL.SEQUENCE (Megatron-SP, clip tower)
+    moe_experts: int = 0         # MODEL.MOE_EXPERTS (>1: routed MoE MLP, clip tower)
+    moe_topk: int = 1            # MODEL.MOE_TOPK
+    moe_capacity: float = 1.25   # MODEL.MOE_CAPACITY
 
     @classmethod
     def from_config(cls, cfg, num_classes: int, camera_num: int,
@@ -99,6 +102,31 @@ class ModelSpec:
                 "Megatron-SP shards tokens over the 'model' axis and "
                 "requires MODEL_AXIS > 1 (docs/CONFIG.md)",
                 int(getattr(cfg.PARALLEL, "MODEL_AXIS", 1)))
+        moe_experts = int(getattr(cfg.MODEL, "MOE_EXPERTS", 0))
+        if moe_experts > 1:
+            if "ViT-B-16" not in ttype:
+                raise ValueError(
+                    "MODEL.MOE_EXPERTS > 1 is implemented for the CLIP ViT "
+                    "tower only (the stacked-block scan carrying the MoE MLP)")
+            if pipe_stages > 1:
+                raise ValueError(
+                    "MODEL.MOE_EXPERTS does not compose with "
+                    "PARALLEL.PIPE_AXIS > 1 (aux loss / expert all-to-all "
+                    "are not threaded through the pipeline schedule)")
+            if bool(cfg.MODEL.FROZEN):
+                raise ValueError(
+                    "MODEL.MOE_EXPERTS does not compose with MODEL.FROZEN "
+                    "(LoRA factors target dense 2-D kernels, not expert "
+                    "stacks)")
+            if bool(cfg.MODEL.PROMPT):
+                raise ValueError(
+                    "MODEL.MOE_EXPERTS does not compose with MODEL.PROMPT "
+                    "(the prompted per-modality forward has no MoE path)")
+            tp = int(getattr(cfg.PARALLEL, "MODEL_AXIS", 1))
+            if tp > 1 and moe_experts % tp:
+                raise ValueError(
+                    f"MODEL.MOE_EXPERTS={moe_experts} must be divisible by "
+                    f"PARALLEL.MODEL_AXIS={tp} for expert parallelism")
         layers, width, heads = 12, 768, 12
         mlp_ratio, qk_scale = 4.0, None
         if "ViT-B-16" in ttype:
@@ -177,6 +205,9 @@ class ModelSpec:
             pipe_stages=pipe_stages,
             pipe_microbatches=int(getattr(cfg.PARALLEL, "PIPE_MICROBATCH", 0)),
             sequence_parallel=bool(getattr(cfg.PARALLEL, "SEQUENCE", False)),
+            moe_experts=moe_experts,
+            moe_topk=int(getattr(cfg.MODEL, "MOE_TOPK", 1)),
+            moe_capacity=float(getattr(cfg.MODEL, "MOE_CAPACITY", 1.25)),
         )
 
     @property
@@ -226,6 +257,7 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
             layers=spec.layers,
             output_dim=spec.feat_dim,
             adapter=spec.adapter,
+            moe_experts=spec.moe_experts,
         )
         if spec.prompt:
             from signal_tpu.models.vit_prompt import init_prompt_params
@@ -316,10 +348,12 @@ def init_signal_params(key, spec: ModelSpec) -> Tuple[Dict[str, Any], Dict[str, 
 def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             view_label=None, rng=None, base_state=None, training=False):
     """imgs [B, 3(modal), 3(ch), H, W] → (patches [B, 3, L, D],
-    cls [B, 3, D], new_base_state | None). Only the resnet backbone
-    carries state (BatchNorm running stats)."""
+    cls [B, 3, D], new_base_state | None, moe_aux | None). Only the
+    resnet backbone carries state (BatchNorm running stats); only the
+    MoE tower (spec.moe_experts > 1) emits a load-balance aux."""
     B = imgs.shape[0]
     new_base = None
+    moe_aux = None
     x = imgs.reshape(B * 3, *imgs.shape[2:])
     base = params["base"]
     if spec.frozen and "lora" in params:
@@ -344,12 +378,12 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
                 for m, name in enumerate(("rgb", "nir", "tir"))]
             patches = jnp.stack([o[0] for o in outs], axis=1)
             cls = jnp.stack([o[1] for o in outs], axis=1)
-            return patches, cls, None
+            return patches, cls, None, None
         # rows of x are sample-major — (b0,RGB),(b0,NI),(b0,TI),(b1,RGB),… —
         # so per-row conditioning must REPEAT each sample's embedding ×3
         # (tile would hand most samples another sample's camera)
         cv3 = jnp.repeat(cv, 3, axis=0) if cv is not None else None
-        patches, cls = vit_mod.vit_forward(
+        vit_out = vit_mod.vit_forward(
             base, x, cv3,
             num_heads=spec.num_heads,
             compute_dtype=spec.cdtype,
@@ -361,7 +395,13 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
             pipe_stages=spec.pipe_stages,
             pipe_microbatches=spec.pipe_microbatches,
             sequence_parallel=spec.sequence_parallel,
+            moe_topk=spec.moe_topk,
+            moe_capacity=spec.moe_capacity,
         )
+        if spec.moe_experts > 1:
+            patches, cls, moe_aux = vit_out
+        else:
+            patches, cls = vit_out
     elif spec.backbone == "resnet":
         from signal_tpu.models.resnet import resnet50_forward
 
@@ -407,7 +447,7 @@ def _encode(params, spec: ModelSpec, imgs: jnp.ndarray, cam_label,
     L, D = patches.shape[1], patches.shape[2]
     patches = patches.reshape(B, 3, L, D)
     cls = cls.reshape(B, 3, D)
-    return patches, cls, new_base
+    return patches, cls, new_base, moe_aux
 
 
 def _stack_modalities(imgs) -> jnp.ndarray:
@@ -434,13 +474,14 @@ def forward_train(
     (vars_score, vars_total) if USE_A.
     """
     x = _stack_modalities(imgs)
-    patches, cls, new_base = _encode(params, spec, x, cam_label, view_label,
-                                     rng=rng, base_state=bn_state.get("base"),
-                                     training=True)
+    patches, cls, new_base, moe_aux = _encode(
+        params, spec, x, cam_label, view_label,
+        rng=rng, base_state=bn_state.get("base"), training=True)
     new_state = dict(bn_state)
     if new_base is not None:
         new_state["base"] = new_base
-    out: Dict[str, Any] = {"scores": [], "feats": [], "gam": None, "lam": None, "masks": None}
+    out: Dict[str, Any] = {"scores": [], "feats": [], "gam": None, "lam": None,
+                           "masks": None, "moe_aux": moe_aux}
 
     vars_total = None
     if spec.use_a:
@@ -505,8 +546,8 @@ def forward_eval(
     taken BEFORE the BNNecks (TEST.NECK_FEAT='before', `make_model.py:284-290`)."""
     x = _stack_modalities(imgs)
     x = _apply_miss(x, spec.miss)
-    patches, cls, _ = _encode(params, spec, x, cam_label, view_label,
-                              base_state=bn_state.get("base"))
+    patches, cls, _, _ = _encode(params, spec, x, cam_label, view_label,
+                                 base_state=bn_state.get("base"))
     ori = cls.reshape(cls.shape[0], -1)
     if not spec.use_a:
         return ori

@@ -48,9 +48,14 @@ def init_vit_params(
     layers: int = 12,
     output_dim: int = 512,
     adapter: bool = False,
+    moe_experts: int = 0,
     dtype=jnp.float32,
 ):
-    """Random init (CLIP checkpoints overwrite these in practice)."""
+    """Random init (CLIP checkpoints overwrite these in practice).
+
+    ``moe_experts > 1``: every block's dense MLP becomes a routed
+    expert MLP (`ops/moe.py`) — the blocks stack carries 'moe' instead
+    of 'mlp' (router + [E, ...] expert weights per layer)."""
     keys = jax.random.split(key, 8)
     scale = width ** -0.5
     n_tokens = h_resolution * w_resolution + 1
@@ -68,8 +73,6 @@ def init_vit_params(
             "proj_bias": jnp.zeros((width,), dtype),
         }
 
-    mlps = [init_mlp(k) for k in mlp_keys]
-
     def stack(trees):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
@@ -78,8 +81,15 @@ def init_vit_params(
         "ln_1": stack([ln_unit() for _ in range(layers)]),
         "attn": stack(attn),
         "ln_2": stack([ln_unit() for _ in range(layers)]),
-        "mlp": stack(mlps),
     }
+    if moe_experts and moe_experts > 1:
+        from signal_tpu.ops.moe import init_moe_params
+
+        blocks["moe"] = stack([
+            init_moe_params(k, width, 4 * width, moe_experts, dtype)
+            for k in mlp_keys])
+    else:
+        blocks["mlp"] = stack([init_mlp(k) for k in mlp_keys])
     if adapter:
         blocks["adapter"] = stack([
             init_adapter_params(k, width, dtype)
@@ -95,7 +105,8 @@ def init_vit_params(
     }
 
 
-def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool):
+def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool,
+           moe_topk: int = 1, moe_capacity: float = 1.25):
     from jax.ad_checkpoint import checkpoint_name
 
     dt = x.dtype  # residual stream dtype (bf16 ≙ the reference's fp16 autocast)
@@ -110,6 +121,16 @@ def _block(params, x, *, num_heads: int, compute_dtype, use_flash: bool):
     # these [3B, L, D]-bf16 tensors is cheap and skips recomputing the
     # attention (and optionally the MLP fc) during the backward replay
     x = x + checkpoint_name(attn_out, "attn_out")
+    if "moe" in params:
+        # MODEL.MOE_EXPERTS: routed expert MLP instead of the dense one;
+        # returns (tokens, load-balance aux) — the scan in vit_forward
+        # accumulates the aux across layers
+        from signal_tpu.ops.moe import moe_mlp
+
+        h, aux = moe_mlp(params["moe"], layer_norm(params["ln_2"], x),
+                         top_k=moe_topk, capacity_factor=moe_capacity,
+                         compute_dtype=compute_dtype)
+        return x + h.astype(dt), aux
     h = layer_norm(params["ln_2"], x)
     # bf16 hidden: the [.., L, 4W] tensor crosses HBM at half the bytes
     # (f32 accumulation + f32 bias happen before the cast; the next
@@ -189,8 +210,14 @@ def vit_forward(
     pipe_stages: int = 1,
     pipe_microbatches: int = 0,
     sequence_parallel: bool = False,
+    moe_topk: int = 1,
+    moe_capacity: float = 1.25,
 ) -> Tuple[jnp.ndarray, ...]:
     """images [B, 3, H, W] → (patch_tokens [B, L, out], cls [B, out]).
+
+    When the blocks carry an MoE MLP ('moe' in params['blocks'],
+    MODEL.MOE_EXPERTS > 1) the return gains a trailing load-balance aux
+    scalar (mean over layers): (..., moe_aux).
 
     ``stride``: patch-embed conv stride (MODEL.STRIDE_SIZE; the reference
     supports overlapping patches, `clip/model.py:433`). Defaults to the
@@ -210,9 +237,18 @@ def vit_forward(
     # reference's autocast keeps it fp16); LN still normalizes in fp32
     x = x.astype(compute_dtype)
 
-    block_fn = lambda lp, h: _block(lp, h, num_heads=num_heads,  # noqa: E731
-                                    compute_dtype=compute_dtype,
-                                    use_flash=use_flash)
+    moe = "moe" in params["blocks"]
+    raw_fn = lambda lp, h: _block(lp, h, num_heads=num_heads,  # noqa: E731
+                                  compute_dtype=compute_dtype,
+                                  use_flash=use_flash,
+                                  moe_topk=moe_topk,
+                                  moe_capacity=moe_capacity)
+    if moe:
+        block_fn = raw_fn  # returns (tokens, aux)
+    else:
+        # normalize to the (tokens, aux) contract so every scan/remat/SP
+        # branch below is uniform; the constant 0 aux compiles away
+        block_fn = lambda lp, h: (raw_fn(lp, h), jnp.float32(0.0))  # noqa: E731
     if remat:
         # scan-over-remat: backward recomputes each block's activations —
         # 12 ViT-B blocks at [3B, 129, 768] fp32 otherwise blow out HBM
@@ -256,11 +292,13 @@ def vit_forward(
         from signal_tpu.parallel.mesh import sequence_constrain
 
         inner_fn = block_fn
-        block_fn = lambda lp, h: sequence_constrain(inner_fn(lp, h))  # noqa: E731
+        block_fn = lambda lp, h: (  # noqa: E731
+            lambda o: (sequence_constrain(o[0]), o[1]))(inner_fn(lp, h))
         x = sequence_constrain(x)
 
     def body(carry, layer_params):
-        return block_fn(layer_params, carry), None
+        nh, aux = block_fn(layer_params, carry)
+        return nh, aux
 
     # MODEL.SCAN_UNROLL: unrolling removes the scan's dynamic-slice/DUS
     # machinery at the cost of an `unroll`× bigger HLO. Measured neutral
@@ -281,20 +319,29 @@ def vit_forward(
         # no pipe mesh active (e.g. a single-device parity check of a
         # pipeline config) → the plain scan below is numerically identical
 
+    moe_aux = jnp.float32(0.0)
     if return_intermediate:
         # split the scan so the penultimate layer's output is observable
         # (CLIP-ReID consumes it as `image_features_last`)
         head = jax.tree.map(lambda a: a[: n_layers - 1], params["blocks"])
         tail = jax.tree.map(lambda a: a[n_layers - 1], params["blocks"])
-        x_last, _ = jax.lax.scan(body, x, head, unroll=min(unroll, n_layers - 1))
-        x = block_fn(tail, x_last)
+        x_last, auxs = jax.lax.scan(body, x, head,
+                                    unroll=min(unroll, n_layers - 1))
+        x, aux_tail = block_fn(tail, x_last)
+        moe_aux = (jnp.sum(auxs) + aux_tail) / n_layers
     elif pipe_mesh is not None:
         if remat and remat_policy == "half":
             raise ValueError("REMAT_POLICY 'half' does not compose with "
                              "PIPE_AXIS > 1 (stage-local remat is uniform)")
+        if moe:
+            raise ValueError("MODEL.MOE_EXPERTS > 1 does not compose with "
+                             "PIPE_AXIS > 1 (the aux loss and the expert "
+                             "all-to-all are not threaded through the "
+                             "pipeline ppermute schedule)")
         from signal_tpu.parallel.pipeline import pipeline_blocks
 
-        x = pipeline_blocks(params["blocks"], x, block_fn, mesh=pipe_mesh,
+        x = pipeline_blocks(params["blocks"], x,
+                            lambda lp, h: block_fn(lp, h)[0], mesh=pipe_mesh,
                             microbatches=pipe_microbatches)
     elif remat and remat_policy == "half":
         # checkpoint the UN-SP-wrapped block and re-apply the sequence
@@ -302,21 +349,25 @@ def vit_forward(
         # the remat backward (same rule as the policy branches above)
         ckpt_inner = jax.checkpoint(unwrapped_fn)
         if sequence_constrain is not None:
-            ckpt_fn = lambda lp, h: sequence_constrain(ckpt_inner(lp, h))  # noqa: E731
+            ckpt_fn = lambda lp, h: (  # noqa: E731
+                lambda o: (sequence_constrain(o[0]), o[1]))(ckpt_inner(lp, h))
         else:
             ckpt_fn = ckpt_inner
 
         def body_ckpt(carry, layer_params):
-            return ckpt_fn(layer_params, carry), None
+            nh, aux = ckpt_fn(layer_params, carry)
+            return nh, aux
 
         k = n_layers // 2
         head = jax.tree.map(lambda a: a[:k], params["blocks"])
         tail = jax.tree.map(lambda a: a[k:], params["blocks"])
-        x, _ = jax.lax.scan(body_ckpt, x, head, unroll=min(unroll, k))  # remat'd half
-        x, _ = jax.lax.scan(body, x, tail, unroll=min(unroll, n_layers - k))  # stored half
+        x, aux_h = jax.lax.scan(body_ckpt, x, head, unroll=min(unroll, k))  # remat'd half
+        x, aux_t = jax.lax.scan(body, x, tail, unroll=min(unroll, n_layers - k))  # stored half
+        moe_aux = (jnp.sum(aux_h) + jnp.sum(aux_t)) / n_layers
     else:
-        x, _ = jax.lax.scan(body, x, params["blocks"],
-                            unroll=min(unroll, n_layers))
+        x, auxs = jax.lax.scan(body, x, params["blocks"],
+                               unroll=min(unroll, n_layers))
+        moe_aux = jnp.sum(auxs) / n_layers
 
     x_post = layer_norm(params["ln_post"], x)
     x_proj = jnp.dot(
@@ -325,7 +376,10 @@ def vit_forward(
         preferred_element_type=jnp.float32,
     )
     if return_intermediate:
-        return x_last, x_post, x_proj
+        return (x_last, x_post, x_proj, moe_aux) if moe else \
+            (x_last, x_post, x_proj)
+    if moe:
+        return x_proj[:, 1:], x_proj[:, 0], moe_aux
     return x_proj[:, 1:], x_proj[:, 0]
 
 

@@ -88,6 +88,29 @@ def sequence_constrain(x):
         x, NamedSharding(mesh, P("data", "model", None)))
 
 
+def moe_constrain(x):
+    """Expert-parallel sharding constraint on a [G, E, C, d] dispatched-
+    expert tensor (`ops/moe.py`): groups over 'data', experts over
+    'model'. GSPMD derives the dispatch/combine all-to-all from this one
+    annotation — each 'model' shard holds E/tp experts and receives only
+    the token slots routed to them. No-op off-mesh, inside a manual
+    shard_map body, without TP, or when E doesn't divide."""
+    mesh = _ACTIVE_MESH
+    if (mesh is None or _SHARD_LOCAL or getattr(x, "ndim", 0) != 4):
+        return x
+    tp = (int(mesh.shape["model"]) if "model" in mesh.axis_names else 1)
+    dp = (int(mesh.shape["data"]) if "data" in mesh.axis_names else 1)
+    spec = [None, None, None, None]
+    if dp > 1 and x.shape[0] % dp == 0:
+        spec[0] = "data"
+    if tp > 1 and x.shape[1] % tp == 0:
+        spec[1] = "model"
+    if spec == [None] * 4:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
 def create_mesh(num_data: int = -1, num_model: int = 1, num_pipe: int = 1,
                 devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -143,6 +166,15 @@ def _spec_for(path: str, leaf) -> P:
         return P(None, "model")
     if "blocks.mlp.proj_kernel" in path:
         return P(None, "model", None)
+    if "blocks.moe." in path:
+        # expert parallelism: the expert axis (dim 1 of the [L, E, ...]
+        # stacks) shards over 'model'; the fp32 router replicates (it is
+        # tiny and every token needs every column). The dispatched
+        # activations carry the matching constraint (moe_constrain), so
+        # GSPMD turns dispatch/combine into an all-to-all over 'model'.
+        if "router" in path:
+            return P()
+        return P(None, "model")
     return P()
 
 
