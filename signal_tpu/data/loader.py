@@ -241,6 +241,7 @@ class _ShardedValLoader:
         pad = (-n) % global_bs
         self._padded = list(range(n)) + [n - 1] * pad  # repeat last record
         self.records = records
+        self.emit_u8 = emit_u8  # engine checks the uint8 contract up front
         self.num_valid = n
         self.global_bs = global_bs
         mini = global_bs // num_shards

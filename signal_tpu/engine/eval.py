@@ -61,6 +61,15 @@ def extract_features(spec, params, bn_state, loader, evaluator: R1mAPEvaluator,
     in ``batch['global']`` (see ``data.loader._ShardedValLoader``); the
     global feature rows are all-gathered to every host so the evaluator
     runs identically everywhere (deterministic — no broadcast needed)."""
+    if (eval_step is None and normalize is None
+            and getattr(loader, "emit_u8", False)):
+        # fail before the first batch is decoded, not at trace time —
+        # the uint8-vs-float contract is a loader property known up front
+        raise ValueError(
+            "loader ships raw uint8 pixels (DATALOADER.DEVICE_NORMALIZE) "
+            "but extract_features got neither normalize=(PIXEL_MEAN, "
+            "PIXEL_STD) nor a pre-built eval_step — on-device Normalize "
+            "needs the stats")
     eval_step = eval_step or make_eval_step(spec, normalize=normalize,
                                             mesh=mesh)
 

@@ -150,6 +150,41 @@ def load_reference_signal_checkpoint(params: Dict[str, Any], bn_state: Dict[str,
         # load_param copies verbatim; pos_verbatim reproduces that
         p["base"] = clip_visual_to_vit_params(base_sd, spec.h, spec.w,
                                               spec.layers, pos_verbatim=True)
+
+        def stack(fmt, transpose=False):
+            arrs = []
+            for i in range(spec.layers):
+                a = jnp.asarray(base_sd[f"visual.transformer.resblocks.{i}.{fmt}"])
+                arrs.append(a.T if transpose else a)
+            return jnp.stack(arrs)
+
+        if "visual.transformer.resblocks.0.adapter_ffn.0.weight" in base_sd:
+            # MODEL.ADAPTER (`clip/model.py:206-209`)
+            p["base"]["blocks"]["adapter"] = {
+                "down_kernel": stack("adapter_ffn.0.weight", transpose=True),
+                "down_bias": stack("adapter_ffn.0.bias"),
+                "up_kernel": stack("adapter_ffn.2.weight", transpose=True),
+                "up_bias": stack("adapter_ffn.2.bias"),
+            }
+        if "visual.transformer.resblocks.0.adapter_prompt_rgb" in base_sd:
+            # MODEL.PROMPT (`clip/model.py:185-205`)
+            def mlp(tname):
+                return {
+                    "fc1_kernel": stack(f"{tname}.0.weight", transpose=True),
+                    "fc1_bias": stack(f"{tname}.0.bias"),
+                    "fc2_kernel": stack(f"{tname}.3.weight", transpose=True),
+                    "fc2_bias": stack(f"{tname}.3.bias"),
+                }
+
+            p["prompt"] = {
+                "prompt_rgb": stack("adapter_prompt_rgb"),
+                "prompt_nir": stack("adapter_prompt_nir"),
+                "prompt_tir": stack("adapter_prompt_tir"),
+                "transfer": mlp("adapter_transfer"),
+                "adp_r": mlp("adapter_r"),
+                "adp_n": mlp("adapter_n"),
+                "adp_t": mlp("adapter_t"),
+            }
     if "clip_vision_encoder.cv_embed" in sd:
         p["cv_embed"] = jnp.asarray(sd["clip_vision_encoder.cv_embed"]).squeeze(1)
 
@@ -235,18 +270,22 @@ def export_reference_signal_state_dict(params: Dict[str, Any],
 
     The positional embedding exports at the trained ReID grid — exactly
     what a torch ``Signal`` built for the same config stores. Only the
-    CLIP-tower Signal path has a reference naming; LoRA/adapter/prompt
-    factor weights and the other backbone families have none and are
-    rejected rather than silently dropped."""
+    CLIP-tower Signal path has a reference naming; LoRA factor weights
+    and the other backbone families have none and are rejected rather
+    than silently dropped. MODEL.ADAPTER / MODEL.PROMPT DO have one —
+    the per-block ``adapter_ffn`` / ``adapter_prompt_*`` /
+    ``adapter_transfer`` / ``adapter_{r,n,t}`` parameters the reference
+    creates when its pattern list carries 'adapter'/'prompt'
+    (`modeling/clip/model.py:183-209`)."""
     if getattr(spec, "backbone", "clip") != "clip":
         raise NotImplementedError(
             f"torch export is defined for the CLIP-tower Signal model; "
             f"backbone {spec.backbone!r} has no reference state-dict naming")
     base_blocks = params.get("base", {}).get("blocks", {})
-    if spec.adapter or spec.prompt or spec.frozen or "adapter" in base_blocks:
+    if spec.frozen:
         raise NotImplementedError(
-            "torch export with LoRA/adapter/prompt branches has no "
-            "reference state-dict naming — export the base model")
+            "torch export with LoRA (MODEL.FROZEN) has no reference "
+            "state-dict naming — export the base model")
     if "moe" in base_blocks or getattr(spec, "moe_experts", 0) > 1:
         raise NotImplementedError(
             "torch export with MODEL.MOE_EXPERTS > 1 has no reference "
@@ -280,6 +319,30 @@ def export_reference_signal_state_dict(params: Dict[str, Any],
         out[b + "mlp.c_fc.bias"] = a(blocks["mlp"]["fc_bias"][i])
         out[b + "mlp.c_proj.weight"] = a(blocks["mlp"]["proj_kernel"][i]).T
         out[b + "mlp.c_proj.bias"] = a(blocks["mlp"]["proj_bias"][i])
+        if "adapter" in blocks:
+            # MODEL.ADAPTER: Sequential(Linear, QuickGELU, Linear) → .0/.2
+            ad = blocks["adapter"]
+            out[b + "adapter_ffn.0.weight"] = a(ad["down_kernel"][i]).T
+            out[b + "adapter_ffn.0.bias"] = a(ad["down_bias"][i])
+            out[b + "adapter_ffn.2.weight"] = a(ad["up_kernel"][i]).T
+            out[b + "adapter_ffn.2.bias"] = a(ad["up_bias"][i])
+        if "prompt" in params:
+            # MODEL.PROMPT: per-block k×d prompt tokens + the transfer /
+            # cross-modality MLPs, Sequential(Linear, QuickGELU, Dropout,
+            # Linear) → .0/.3 (`clip/model.py:185-205`)
+            pp = params["prompt"]
+            for mod, ours in (("rgb", "prompt_rgb"), ("nir", "prompt_nir"),
+                              ("tir", "prompt_tir")):
+                out[b + f"adapter_prompt_{mod}"] = a(pp[ours][i])
+            for tname, ours in (("adapter_transfer", "transfer"),
+                                ("adapter_r", "adp_r"),
+                                ("adapter_n", "adp_n"),
+                                ("adapter_t", "adp_t")):
+                m = pp[ours]
+                out[b + f"{tname}.0.weight"] = a(m["fc1_kernel"][i]).T
+                out[b + f"{tname}.0.bias"] = a(m["fc1_bias"][i])
+                out[b + f"{tname}.3.weight"] = a(m["fc2_kernel"][i]).T
+                out[b + f"{tname}.3.bias"] = a(m["fc2_bias"][i])
 
     if "cv_embed" in params:
         out["clip_vision_encoder.cv_embed"] = a(params["cv_embed"])[:, None, :]

@@ -262,16 +262,20 @@ def vit_forward(
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
         elif remat_policy == "attn":
             # save each block's attention output ([3B, L, D] bf16 — cheap):
-            # the backward replay recomputes only LN + MLP
-            block_fn = jax.checkpoint(
-                block_fn,
-                policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
-        elif remat_policy == "attn_mlp":
-            # additionally save the GELU'd MLP hidden ([3B, L, 4D] fp32)
+            # the backward replay recomputes only LN + MLP. On MoE towers
+            # also save the dispatched expert inputs, so the replay skips
+            # the dispatch all-to-all GSPMD derives from moe_constrain
             block_fn = jax.checkpoint(
                 block_fn,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "attn_out", "mlp_hidden"))
+                    "attn_out", "moe_dispatch"))
+        elif remat_policy == "attn_mlp":
+            # additionally save the GELU'd MLP hidden ([3B, L, 4D] fp32)
+            # (MoE: the post-GELU expert hidden, same role)
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "mlp_hidden", "moe_dispatch", "moe_hidden"))
         elif remat_policy == "half":
             # remat only the FIRST half of the blocks (backward replays
             # 6 of 12 instead of all 12 → half the recompute FLOPs); the

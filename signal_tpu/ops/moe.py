@@ -96,6 +96,15 @@ def _route(probs: jnp.ndarray, top_k: int, capacity: int
         remaining = remaining * (1.0 - oh)
         onehots.append(oh)
     denom = sum(gates) + 1e-9
+    if top_k == 1:
+        # k=1 normalization is p/(p+eps): forward exactly 1.0 (an
+        # upcycled tower reproduces the dense model at step 0) but with
+        # ~zero derivative w.r.t. the router prob — routing would learn
+        # only from the aux load-balance loss, never from the task loss.
+        # Straight-through normalization keeps the 1.0 forward and
+        # restores d(gate)/dp = 1/sg(p) so the task loss trains the
+        # router (Switch's raw gate=p gradient direction, unit-scaled).
+        denom = jax.lax.stop_gradient(denom)
     gates = [g / denom for g in gates]
 
     combine = jnp.zeros((G, S, E, capacity), probs.dtype)
@@ -122,12 +131,21 @@ def moe_mlp(params, x: jnp.ndarray, *, top_k: int = 1,
     (f_e: fraction top-1-routed to e; P_e: mean router prob) — 1.0 at
     perfect balance, larger when skewed. Weighted upstream by
     MODEL.MoE_Loss_weight."""
+    from jax.ad_checkpoint import checkpoint_name
+
     from signal_tpu.parallel.mesh import moe_constrain
 
     G, S, d = x.shape
     E = params["router"].shape[-1]
     C = moe_capacity(S, E, top_k, capacity_factor)
     compute_dtype = jnp.dtype(compute_dtype)
+    if (compute_dtype == jnp.bfloat16
+            and jax.default_backend() not in ("tpu", "axon")):
+        # XLA:CPU's DotThunk has no BF16×BF16→F32 kernel for these rank-4
+        # batched dots (the dense tower's rank-3 dots lower differently);
+        # upcast the whole layer there. TPU keeps bf16 operands with f32
+        # MXU accumulation — the fast path this branch exists to protect.
+        compute_dtype = jnp.dtype(jnp.float32)
 
     logits = jnp.einsum("gsd,de->gse", x.astype(jnp.float32),
                         params["router"])                          # fp32
@@ -135,15 +153,24 @@ def moe_mlp(params, x: jnp.ndarray, *, top_k: int = 1,
     combine, top1 = _route(probs, top_k, C)                       # [G,S,E,C]
     dispatch = (combine > 0).astype(compute_dtype)
 
+    # NOTE remat: under the default full-remat policy the backward replays
+    # this whole layer, including the dispatch/combine all-to-alls GSPMD
+    # derives from moe_constrain — accepted (standard full-remat
+    # semantics: nothing is saved, everything replays). The named saves
+    # below let the selective 'attn'/'attn_mlp' policies (`models/vit.py`)
+    # keep the dispatched tensors instead, skipping the replayed
+    # collectives at the cost of [G,E,C,·] bf16 residents.
     xc = x.astype(compute_dtype)
     expert_in = jnp.einsum("gsec,gsd->gecd", dispatch, xc,
                            preferred_element_type=jnp.float32)
-    expert_in = moe_constrain(expert_in.astype(compute_dtype))
+    expert_in = checkpoint_name(
+        moe_constrain(expert_in.astype(compute_dtype)), "moe_dispatch")
     h = jnp.einsum("gecd,edh->gech", expert_in,
                    params["fc_kernel"].astype(compute_dtype),
                    preferred_element_type=jnp.float32)
     h = quick_gelu(h + params["fc_bias"].astype(jnp.float32)[None, :, None, :])
-    h = moe_constrain(h.astype(compute_dtype))
+    h = checkpoint_name(
+        moe_constrain(h.astype(compute_dtype)), "moe_hidden")
     out_e = jnp.einsum("gech,ehd->gecd", h,
                        params["proj_kernel"].astype(compute_dtype),
                        preferred_element_type=jnp.float32)

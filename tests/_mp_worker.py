@@ -89,7 +89,8 @@ def main():
 
         evaluator = R1mAPEvaluator(num_query, feat_norm=True)
         extract_features(spec, params, bn_state, val_loader, evaluator,
-                         mesh=mesh)
+                         mesh=mesh,
+                         normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
         cmc, mAP, *_ = evaluator.compute()
 
         save_checkpoint(os.path.join(tmpdir, f"mp_ckpt_tp{tp}"), {

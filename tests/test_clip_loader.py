@@ -220,14 +220,27 @@ def _tree_paths_equal(a, b):
                                    rtol=0, atol=0, err_msg=str(ka))
 
 
-def test_torch_export_roundtrip(tmp_path):
+@pytest.mark.parametrize("branch", ["base", "adapter", "prompt",
+                                    "prompt_adapter"])
+def test_torch_export_roundtrip(tmp_path, branch):
     """export_reference_signal_state_dict is the exact inverse of
     load_reference_signal_checkpoint: params → .pth → params is the
-    identity (incl. the non-square trained pos-embed grid)."""
+    identity (incl. the non-square trained pos-embed grid), for the base
+    tower and for the MODEL.ADAPTER / MODEL.PROMPT branches, which use
+    the reference's per-block `adapter_ffn` / `adapter_prompt_*` /
+    `adapter_transfer` / `adapter_{r,n,t}` naming
+    (`modeling/clip/model.py:183-209`)."""
     from signal_tpu.models.clip_loader import save_reference_signal_checkpoint
 
-    spec = _tiny_spec()
+    spec = dataclasses.replace(
+        _tiny_spec(),
+        adapter=branch in ("adapter", "prompt_adapter"),
+        prompt=branch in ("prompt", "prompt_adapter"))
     params, bn = init_signal_params(jax.random.PRNGKey(4), spec)
+    if spec.prompt:  # zero-init prompt tokens would roundtrip trivially
+        for name in ("prompt_rgb", "prompt_nir", "prompt_tir"):
+            params["prompt"][name] = jax.random.normal(
+                jax.random.PRNGKey(7), params["prompt"][name].shape)
     path = str(tmp_path / "exported.pth")
     save_reference_signal_checkpoint(params, bn, spec, path)
 

@@ -40,12 +40,16 @@ def _tiled_moe(key, dense, num_experts, width):
     return p
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize("top_k", [1, 2])
-def test_identical_experts_match_dense(top_k):
+def test_identical_experts_match_dense(top_k, dtype):
     """With every expert a copy of the dense MLP and no capacity drops,
     routing is irrelevant: normalized gates sum to 1 and the MoE layer
     must reproduce the dense MLP exactly (this pins the one-hot
-    dispatch/combine einsum algebra)."""
+    dispatch/combine einsum algebra). Runs in BOTH compute dtypes — the
+    shipping default is bf16 (`signal_model.py`), and the r04 regression
+    (CPU DotThunk lacking bf16 dots) lived exactly in the dtype the
+    tests skipped."""
     d, hidden, E = 32, 64, 4
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     dense = {
@@ -58,12 +62,34 @@ def test_identical_experts_match_dense(top_k):
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 10, d), jnp.float32)
     # capacity_factor = E → C = k·L ≥ L: no expert can overflow
     y, aux = moe_mlp(params, x, top_k=top_k, capacity_factor=float(E),
-                     compute_dtype=jnp.float32)
+                     compute_dtype=jnp.dtype(dtype))
     ref = _dense_mlp(dense, x)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+    tol = dict(rtol=1e-5, atol=1e-5) if dtype == "float32" else \
+        dict(rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), **tol)
     # near-uniform fresh router → aux ≈ 1 (E·Σf·P with P ≈ 1/E)
     assert 0.8 <= float(aux) <= float(E) + 1e-4
+
+
+def test_k1_router_gets_task_gradient():
+    """At the default MOE_TOPK=1 the combine weight is p/sg(p+eps)
+    (straight-through normalization): forward must stay exactly 1 for
+    the kept tokens (upcycle contract) while the ROUTER still receives a
+    task-loss gradient — plain p/(p+eps) has ~zero derivative and the
+    router could only learn from the aux loss (advisor r4 finding)."""
+    d, hidden, E = 16, 32, 4
+    params = init_moe_params(jax.random.PRNGKey(8), d, hidden, E)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, d), jnp.float32)
+
+    def task_loss(p):
+        y, _ = moe_mlp(p, x, top_k=1, capacity_factor=float(E),
+                       compute_dtype=jnp.float32)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(task_loss)(params)
+    assert float(jnp.linalg.norm(g["router"])) > 1e-6
+    # experts obviously train too
+    assert float(jnp.linalg.norm(g["fc_kernel"])) > 1e-6
 
 
 def test_capacity_drop_zeroes_overflow_tokens():
@@ -130,10 +156,10 @@ def _moe_cfg(num_experts=4):
     return cfg
 
 
-def _tiny(spec):
+def _tiny(spec, dtype="float32"):
     return dataclasses.replace(spec, layers=2, width=64, feat_dim=32,
                                num_heads=4, h=4, w=4, topk=4, use_flash=False,
-                               compute_dtype="float32")
+                               compute_dtype=dtype)
 
 
 def _tiny_batch(num_classes=8, B=8):
@@ -146,16 +172,18 @@ def _tiny_batch(num_classes=8, B=8):
     }
 
 
-def test_moe_loss_weight_is_consumed():
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_moe_loss_weight_is_consumed(dtype):
     """The reference's dormant MoE_Loss_weight knob must move the loss
-    (aux >= 1 whenever MOE_EXPERTS > 1, so weights 0 vs 1 must differ)."""
+    (aux >= 1 whenever MOE_EXPERTS > 1, so weights 0 vs 1 must differ).
+    Parameterized over compute dtype: bf16 is the shipping default."""
     from signal_tpu.engine.train import make_train_step
     from signal_tpu.models.signal_model import ModelSpec, init_signal_params
     from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
 
     num_classes = 8
     cfg = _moe_cfg()
-    spec = _tiny(ModelSpec.from_config(cfg, num_classes, camera_num=2))
+    spec = _tiny(ModelSpec.from_config(cfg, num_classes, camera_num=2), dtype)
     assert spec.moe_experts == 4
     params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
     assert "moe" in params["base"]["blocks"]
@@ -252,6 +280,48 @@ def test_ep_sharded_train_step_matches_single_device():
 
     np.testing.assert_allclose(float(loss_ref), float(loss_ep), rtol=1e-4)
     np.testing.assert_allclose(float(acc_ref), float(acc_ep), rtol=1e-6)
+
+
+@requires_8_devices
+def test_sp_ep_composed_train_step_matches_single_device():
+    """SEQUENCE (Megatron-SP, tokens over 'model') composed with
+    MOE_EXPERTS (experts over 'model') in the same tower: GSPMD reshards
+    the residual stream token→expert layout around every MoE block. The
+    composition is allowed (unlike PIPE/FROZEN/PROMPT) — this test pins
+    that it stays numerically identical to the single-device step
+    (advisor r4: the only risky composition without an equality test)."""
+    from signal_tpu.engine.train import make_train_step
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
+    from signal_tpu.solver import adam_init, build_param_groups, schedule_coeffs
+
+    num_classes = 8
+    cfg = _moe_cfg(4)
+    cfg.PARALLEL.MODEL_AXIS = 4
+    cfg.PARALLEL.SEQUENCE = True
+    spec = _tiny(ModelSpec.from_config(cfg, num_classes, camera_num=2))
+    assert spec.sequence_parallel and spec.moe_experts == 4
+    params, bn = init_signal_params(jax.random.PRNGKey(0), spec)
+    gt = build_param_groups(params, cfg)
+    batch = _tiny_batch(num_classes)
+    lr_a, lr_b = schedule_coeffs(cfg, 1)
+
+    step = make_train_step(spec, cfg, num_classes)
+    _, _, _, loss_ref, acc_ref, _ = step(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, bn),
+        adam_init(params), batch, jnp.float32(lr_a), jnp.float32(lr_b), gt)
+
+    mesh = create_mesh(num_data=2, num_model=4)
+    step_sp_ep = make_train_step(spec, cfg, num_classes, mesh=mesh)
+    with mesh:
+        p = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        b = shard_batch(batch, mesh)
+        _, _, _, loss, acc, _ = step_sp_ep(
+            p, jax.tree.map(jnp.copy, bn), adam_init(p), b,
+            jnp.float32(lr_a), jnp.float32(lr_b), gt)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss), rtol=1e-4)
+    np.testing.assert_allclose(float(acc_ref), float(acc), rtol=1e-6)
 
 
 def test_moe_config_validation():

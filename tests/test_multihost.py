@@ -118,7 +118,8 @@ def test_two_process_train_step_and_eval(tmp_path):
         params, bn_state, adam_init(params), _device_batch(batch),
         jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
     evaluator = R1mAPEvaluator(num_query, feat_norm=True)
-    extract_features(spec, params, bn_state, val_loader, evaluator)
+    extract_features(spec, params, bn_state, val_loader, evaluator,
+                     normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
     _, mAP_ref, *_ = evaluator.compute()
 
     np.testing.assert_allclose(r0["loss"], float(loss_ref), rtol=1e-4)
@@ -186,7 +187,8 @@ def test_two_process_tp_flash_train_step(tmp_path):
         params, bn_state, adam_init(params), _device_batch(batch),
         jnp.float32(lr_a), jnp.float32(lr_b), group_trees)
     evaluator = R1mAPEvaluator(num_query, feat_norm=True)
-    extract_features(spec, params, bn_state, val_loader, evaluator)
+    extract_features(spec, params, bn_state, val_loader, evaluator,
+                     normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD))
     _, mAP_ref, *_ = evaluator.compute()
 
     np.testing.assert_allclose(r0["loss"], float(loss_ref), rtol=1e-4)

@@ -423,6 +423,186 @@ def test_direct0_train_heads_match_reference(ref_make_model, tmp_path):
                                rtol=5e-3, atol=5e-3)
 
 
+def test_adapter_train_eval_match_reference(ref_make_model, tmp_path):
+    """MODEL.ADAPTER=True through the FULL imported reference ``Signal``:
+    every block gains a parallel adapter MLP (x + mlp(ln2 x) + adapter(x),
+    `clip/model.py:206-209,233-237`). One train + one eval golden at the
+    flagship sign=3 config. The adapter kernels are trunc-normal at init
+    (biases zero), so the branch carries real signal — a wiring drift
+    (wrong residual point, missing QuickGELU) shows up O(1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from signal_tpu.models.clip_loader import (
+        export_reference_signal_state_dict, load_clip_into_params)
+    from signal_tpu.models.signal_model import (
+        ModelSpec, forward_eval, forward_train, init_signal_params)
+
+    mm, sd = ref_make_model
+    cfg = _flagship_cfg()
+    cfg.MODEL.ADAPTER = True
+
+    spec = ModelSpec.from_config(cfg, num_classes=NUM_CLASSES,
+                                 camera_num=CAM_NUM)
+    spec = dataclasses.replace(spec, compute_dtype="float32",
+                               use_flash=False, remat=False, stage="CLS")
+    params, bn_state = init_signal_params(jax.random.PRNGKey(17), spec)
+    pt = tmp_path / "ViT-B-16.pt"
+    torch.save({k: v.clone() for k, v in sd.items()}, str(pt))
+    params = load_clip_into_params(params, str(pt), spec)
+    assert "adapter" in params["base"]["blocks"]
+
+    ref = mm.Signal(NUM_CLASSES, cfg, camera_num=CAM_NUM, view_num=0,
+                    factory={})
+    assert hasattr(ref.clip_vision_encoder.base.transformer.resblocks[0],
+                   "adapter_ffn")
+    exported = {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in export_reference_signal_state_dict(
+                    params, bn_state, spec).items()}
+    result = ref.load_state_dict(exported, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    leftover = [k for k in result.missing_keys
+                if "num_batches_tracked" not in k]
+    assert not leftover, f"ref params the exporter missed: {leftover}"
+
+    rng = np.random.default_rng(19)
+    imgs = {m: rng.standard_normal((B, 3, 256, 128)).astype(np.float32)
+            for m in ("RGB", "NI", "TI")}
+    cams = rng.integers(0, CAM_NUM, B)
+
+    ref.train()
+    with torch.no_grad():
+        got_ref = ref({m: torch.from_numpy(v) for m, v in imgs.items()},
+                      cam_label=torch.from_numpy(cams), training=True,
+                      sge="CLS")
+    out, _ = forward_train(params, bn_state,
+                           {m: jnp.asarray(v) for m, v in imgs.items()},
+                           jnp.asarray(cams), spec)
+    assert got_ref[0] == 3
+    _, ori_score, ori, vars_score, vars_total, gam = got_ref
+    for name, mine, theirs in (("ori_score", out["scores"][0], ori_score),
+                               ("ori", out["feats"][0], ori),
+                               ("vars_score", out["scores"][1], vars_score),
+                               ("vars_total", out["feats"][1], vars_total),
+                               ("gam", out["gam"], gam)):
+        np.testing.assert_allclose(
+            np.asarray(mine), theirs.detach().numpy(), rtol=5e-3, atol=5e-3,
+            err_msg=f"ADAPTER train head {name!r} diverged")
+
+    ref.eval()
+    with torch.no_grad():
+        ev_ref = ref({m: torch.from_numpy(v) for m, v in imgs.items()},
+                     cam_label=torch.from_numpy(cams), training=False)
+    ev = forward_eval(params, bn_state,
+                      {m: jnp.asarray(v) for m, v in imgs.items()},
+                      jnp.asarray(cams), spec)
+    np.testing.assert_allclose(np.asarray(ev), ev_ref.numpy(),
+                               rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("with_adapter", [False, True])
+def test_prompt_tower_matches_reference(ref_make_model, tmp_path,
+                                        with_adapter):
+    """MODEL.PROMPT golden at the imported-VisionTransformer level
+    (`clip/model.py:298-340` forward_with_prompt; :342-386 with ADAPTER).
+    The FULL reference ``Signal`` never passes ``modality`` to the tower
+    (`make_model.py:181-183`), so the prompted forward is unreachable —
+    and crashes — from the Signal entry (see
+    test_prompt_through_signal_is_broken_at_source); the module level is
+    where the reference's prompt code actually runs. Prompt tokens are
+    zero at init (`clip/model.py:187-189`), which would make the branch a
+    no-op — randomize them before the weight copy so every prompt path
+    (own + transfer, two cross-modality adapters, the per-layer strip/
+    re-append, the 3-group mean) carries signal."""
+    import jax
+    import jax.numpy as jnp
+
+    from signal_tpu.models.clip_loader import (
+        export_reference_signal_state_dict, load_clip_into_params)
+    from signal_tpu.models.signal_model import ModelSpec, init_signal_params
+    from signal_tpu.models.vit_prompt import vit_forward_prompt
+
+    mm, sd = ref_make_model
+    import modeling.clip.model as clip_model_mod  # loaded by the fixture
+
+    cfg = _flagship_cfg()
+    cfg.MODEL.PROMPT = True
+    cfg.MODEL.ADAPTER = with_adapter
+
+    spec = ModelSpec.from_config(cfg, num_classes=NUM_CLASSES,
+                                 camera_num=CAM_NUM)
+    spec = dataclasses.replace(spec, compute_dtype="float32",
+                               use_flash=False, remat=False)
+    params, bn_state = init_signal_params(jax.random.PRNGKey(23), spec)
+    pt = tmp_path / "ViT-B-16.pt"
+    torch.save({k: v.clone() for k, v in sd.items()}, str(pt))
+    params = load_clip_into_params(params, str(pt), spec)
+    assert "prompt" in params
+    rng = np.random.default_rng(29)
+    for name in ("prompt_rgb", "prompt_nir", "prompt_tir"):
+        params["prompt"][name] = jnp.asarray(
+            rng.standard_normal(params["prompt"][name].shape) * 0.1,
+            jnp.float32)
+
+    # reference tower, prompt (+adapter) pattern, our weights
+    ref_visual = clip_model_mod.VisionTransformer(
+        h_resolution=16, w_resolution=8, patch_size=16, stride_size=16,
+        width=768, layers=12, heads=12, output_dim=512, cfg=cfg)
+    prefix = "clip_vision_encoder.base."
+    visual_sd = {k[len(prefix):]: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in export_reference_signal_state_dict(
+                     params, bn_state, spec).items()
+                 if k.startswith(prefix)}
+    result = ref_visual.load_state_dict(visual_sd, strict=True)
+    assert not result.missing_keys and not result.unexpected_keys
+    ref_visual.eval()
+
+    imgs = rng.standard_normal((B, 3, 256, 128)).astype(np.float32)
+    for modality, name in (("rgb", "rgb"), ("nir", "nir"), ("tir", "tir")):
+        with torch.no_grad():
+            got_ref = ref_visual(torch.from_numpy(imgs), None, modality)
+        patches, cls = vit_forward_prompt(
+            params["base"], params["prompt"], jnp.asarray(imgs), None,
+            name, num_heads=12, compute_dtype=jnp.float32, use_flash=False)
+        np.testing.assert_allclose(
+            np.asarray(cls), got_ref[:, 0].numpy(), rtol=5e-3, atol=5e-3,
+            err_msg=f"prompted CLS diverged (modality={modality}, "
+                    f"adapter={with_adapter})")
+        np.testing.assert_allclose(
+            np.asarray(patches), got_ref[:, 1:].numpy(), rtol=5e-3,
+            atol=5e-3,
+            err_msg=f"prompted patches diverged (modality={modality}, "
+                    f"adapter={with_adapter})")
+
+
+def test_prompt_through_signal_is_broken_at_source(ref_make_model):
+    """Evidence for the exclusion: the reference's ``Signal.forward``
+    calls the tower without ``modality`` (`make_model.py:181-183`), and
+    with MODEL.PROMPT=True `forward_with_prompt` falls through every
+    modality branch and returns None → the next block unpacks it and
+    crashes. The prompted family is therefore dead from the reference's
+    own CLI; our MODEL.PROMPT wires the modality names through
+    (`signal_model.py` prompted branch) — golden-tested at the module
+    level above."""
+    import inspect
+
+    mm, sd = ref_make_model
+    import modeling.clip.model as clip_model_mod
+
+    src = inspect.getsource(mm.Signal.forward)
+    assert "modality" not in src  # the Signal entry never passes it
+
+    cfg = _flagship_cfg()
+    cfg.MODEL.PROMPT = True
+    ref_visual = clip_model_mod.VisionTransformer(
+        h_resolution=16, w_resolution=8, patch_size=16, stride_size=16,
+        width=768, layers=2, heads=12, output_dim=512, cfg=cfg)
+    ref_visual.eval()
+    x = torch.zeros(2, 3, 256, 128)
+    with pytest.raises(TypeError), torch.no_grad():
+        ref_visual(x, None, None)  # modality=None: what Signal passes
+
+
 @pytest.mark.parametrize("use_a", [False, True])
 def test_ablation_signs_match_reference(ref_make_model, tmp_path, use_a):
     """The ablation branches: sign=1 (baseline, USE_A=USE_B=False) and
