@@ -60,6 +60,9 @@ def main():
         "tpu_s": round(tpu_s, 3),
         "device": jax.devices()[0].device_kind,
     }
+    stats = jax.devices()[0].memory_stats() or {}
+    if "peak_bytes_in_use" in stats:
+        result["peak_hbm_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
 
     if not skip_ref and os.path.isdir("/root/reference/utils"):
         import importlib.util

@@ -255,7 +255,10 @@ def vit_forward(
         # (measured: 22.7G > 15.75G on v5e at the reference's B=64).
         # full remat beats dots_saveable here (fp32 stream: 208.8 vs 183.8
         # samples/s on v5e: at 129 tokens the recompute is cheaper than the
-        # HBM traffic of saving per-dot activations).
+        # HBM traffic of saving per-dot activations). Re-measured at the
+        # bf16 stream with an interleaved single-process A/B
+        # (scripts/bench_remat_ab.py): full 471.2 vs attn 469.1 — tie,
+        # 'full' stays default; see DESIGN.md remat table.
         if remat_policy == "dots":
             block_fn = jax.checkpoint(
                 block_fn,
